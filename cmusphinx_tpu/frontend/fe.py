@@ -357,14 +357,17 @@ class Frontend:
         power = jnp.square(spec.real) + jnp.square(spec.imag)  # [B, T, nbins]
 
         mel = jnp.einsum("btf,fm->btm", power.astype(jnp.float32),
-                         jnp.asarray(self.filters, jnp.float32))
+                         jnp.asarray(self.filters, jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
         logmel = jnp.where(mel > 0, jnp.log(mel), -10.0)
 
         if self.logspec:
             return logmel
-        cep = jnp.einsum("btm,mc->btc", logmel, jnp.asarray(self.dct, jnp.float32))
+        cep = jnp.einsum("btm,mc->btc", logmel, jnp.asarray(self.dct, jnp.float32),
+                         precision=jax.lax.Precision.HIGHEST)
         if self.smoothspec:
-            return jnp.einsum("btc,cm->btm", cep, jnp.asarray(self.idct, jnp.float32))
+            return jnp.einsum("btc,cm->btm", cep, jnp.asarray(self.idct, jnp.float32),
+                              precision=jax.lax.Precision.HIGHEST)
         if self.lifter is not None:
             cep = cep * jnp.asarray(self.lifter, jnp.float32)
         return cep
@@ -419,11 +422,13 @@ class FrontendStream:
         frames = frames * jnp.asarray(fe.window, jnp.float32)
         spec = jnp.fft.rfft(frames, n=fe.nfft)
         power = jnp.square(spec.real) + jnp.square(spec.imag)
-        mel = power.astype(jnp.float32) @ jnp.asarray(fe.filters, jnp.float32)
+        mel = jnp.dot(power.astype(jnp.float32), jnp.asarray(fe.filters, jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
         logmel = jnp.where(mel > 0, jnp.log(mel), -10.0)
         if fe.logspec:
             return np.asarray(logmel)
-        cep = logmel @ jnp.asarray(fe.dct, jnp.float32)
+        cep = jnp.dot(logmel, jnp.asarray(fe.dct, jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST)
         if fe.lifter is not None:
             cep = cep * jnp.asarray(fe.lifter, jnp.float32)
         return np.asarray(cep)

@@ -191,7 +191,8 @@ class FeatPipeline:
             cep = cep.at[:, 0].add(-jnp.max(cep[:, 0]))
         feats = self._dynamic(cep)
         if self.lda is not None:
-            feats = feats @ jnp.asarray(self.lda[: self.out_dim]).T
+            feats = jnp.dot(feats, jnp.asarray(self.lda[: self.out_dim]).T,
+                            precision=jax.lax.Precision.HIGHEST)
         return feats
 
     def _dynamic(self, cep):

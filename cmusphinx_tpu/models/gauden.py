@@ -70,15 +70,17 @@ def read_gauden(means_path: str, vars_path: str, varfloor: float = 0.0001) -> Ga
     maxlen = max(veclen)
     means = np.zeros((n_mgau, n_feat, n_density, maxlen), np.float32)
     var = np.zeros_like(means)
-    # Unpack the ragged stream layout.
-    blk = sum(veclen)
-    mdata = mdata.reshape(n_mgau, n_density, blk)
-    vdata = vdata.reshape(n_mgau, n_density, blk)
+    # Unpack the ragged layout: [n_mgau][n_feat][n_density][veclen_f]
+    # (feature-major inside each codebook, per gauden_param_read).
+    blk_per_mgau = n_density * sum(veclen)
+    mdata = mdata.reshape(n_mgau, blk_per_mgau)
+    vdata = vdata.reshape(n_mgau, blk_per_mgau)
     pos = 0
     for f, ln in enumerate(veclen):
-        means[:, f, :, :ln] = mdata[:, :, pos : pos + ln]
-        var[:, f, :, :ln] = vdata[:, :, pos : pos + ln]
-        pos += ln
+        seg = n_density * ln
+        means[:, f, :, :ln] = mdata[:, pos : pos + seg].reshape(n_mgau, n_density, ln)
+        var[:, f, :, :ln] = vdata[:, pos : pos + seg].reshape(n_mgau, n_density, ln)
+        pos += seg
 
     # Variance flooring + log determinant (gauden_dist_precompute).
     var = np.maximum(var, varfloor).astype(np.float32)

@@ -1,0 +1,221 @@
+"""GMM senone scoring as batched matmul + log-sum-exp.
+
+This replaces the reference's scalar hot loops (SURVEY.md §3.2: eval_topn /
+eval_cb in s2_semi_mgau.c:81-180, senone logadd :217-530; ptm_mgau.c:99-260;
+sphinx3 cont_mgau.c:1174 mgau_eval) with dense MXU-friendly programs.
+
+Key reformulation: the log Gaussian density
+
+    ll[t, k] = lrd[k] - sum_d prec[k,d] * (x[t,d] - mean[k,d])^2
+
+expands to `const[k] + x_t . lin[k] - (x_t*x_t) . prec[k]`, i.e. two matmuls
+[T, D] @ [D, K] — the Mahalanobis distance for ALL codewords and ALL frames
+is a pair of GEMMs on the MXU.  The senone mixture then uses the
+exp-normalize trick: with per-frame density max m_t,
+
+    score[t, s] = log( sum_k exp(ll[t,k] - m_t) * w[k,s] ) + m_t
+
+where the inner sum is again a single GEMM [T, K] @ [K, S] in linear space.
+So semi-continuous senone scoring = 3 matmuls + 1 log.  No top-N shortlist
+needed — the dense exact computation is *faster* on TPU than bookkeeping a
+shortlist (the reference's top-4 is an approximation born of scalar CPUs).
+A `topn` option reproduces the reference's shortlisting for parity tests.
+
+Scorers return natural-log senone scores [T, n_sen].  Scores are exact
+(unnormalized) log-likelihoods; decoders may subtract the per-frame max —
+Viterbi paths and beams are invariant to per-frame constants.
+
+All scorers are stateless pytrees of device arrays; `score()` is pure and
+jit/vmap/pjit-compatible.  For multi-chip serving, shard the senone axis of
+the mixture-weight table (S is the large dimension) with
+`NamedSharding(mesh, P(None, "mp"))` — the [T,K]@[K,S] GEMM then runs fully
+sharded with no collectives until the final per-frame max (SURVEY.md §2.10 P5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# GMM log-densities are numerically sensitive: JAX's default matmul precision
+# truncates f32 operands (bf16-ish), costing ~0.02-0.1 absolute in log space —
+# enough to flip near-tie Viterbi paths.  All scoring GEMMs request full f32.
+HIGHEST = jax.lax.Precision.HIGHEST
+
+from ..models.gauden import GaussianParams
+
+
+def density_logliks(x, means, prec, lrd):
+    """Log Gaussian densities for all codewords.
+
+    x: [T, D]; means/prec: [K, D]; lrd: [K]  ->  [T, K]
+
+    prec is 0.5/var (zero in padded dims); lrd is the log normalizer.
+    """
+    lin = 2.0 * prec * means                      # [K, D]
+    const = lrd - jnp.sum(prec * means * means, -1)  # [K]
+    return (const[None, :]
+            + jnp.dot(x, lin.T, precision=HIGHEST)
+            - jnp.dot(x * x, prec.T, precision=HIGHEST))
+
+
+def _mask_topn(d, topn: int):
+    """Keep only the top-N densities per frame (reference eval_topn
+    semantics), masking the rest to -inf."""
+    if topn <= 0 or topn >= d.shape[-1]:
+        return d
+    vals, _ = jax.lax.top_k(d, topn)
+    thresh = vals[..., -1:]
+    return jnp.where(d >= thresh, d, -jnp.inf)
+
+
+class SemiContinuousScorer:
+    """Semi-continuous / tied-codebook senone scorer (s2_semi_mgau capability).
+
+    One shared codebook per feature stream; senones mix the same K densities
+    with per-senone weights.  hub4wsj_sc_8k: 3 streams x 256 densities x
+    5150 senones; tidigits: 4 streams (s2_4x) x 256 x 670.
+    """
+
+    def __init__(self, gauden: GaussianParams, ln_mixw: np.ndarray,
+                 stream_slices: Sequence[np.ndarray], topn: int = 0):
+        if gauden.n_mgau != 1:
+            raise ValueError("semi-continuous scorer needs a single codebook set")
+        self.n_feat = gauden.n_feat
+        self.n_density = gauden.n_density
+        self.n_sen = ln_mixw.shape[-1]
+        self.topn = topn
+        self.stream_slices = [np.asarray(s, np.int32) for s in stream_slices]
+        if len(self.stream_slices) != self.n_feat:
+            raise ValueError(
+                f"{len(self.stream_slices)} streams but model has {self.n_feat}")
+        # Per-stream parameter tensors (trim padding to each stream's veclen).
+        self.means = []
+        self.prec = []
+        self.lrd = []
+        for f in range(self.n_feat):
+            ln = gauden.veclen[f]
+            self.means.append(jnp.asarray(gauden.means[0, f, :, :ln]))
+            self.prec.append(jnp.asarray(gauden.prec[0, f, :, :ln]))
+            self.lrd.append(jnp.asarray(gauden.lrd[0, f]))
+        # Linear-domain mixture weights for the GEMM trick.
+        self.w = jnp.asarray(np.exp(ln_mixw.astype(np.float64)).astype(np.float32))
+
+    def score(self, feats) -> jnp.ndarray:
+        """feats [T, D_total] -> ln senone scores [T, n_sen]."""
+        out = None
+        for f in range(self.n_feat):
+            x = feats[:, self.stream_slices[f]]
+            d = density_logliks(x, self.means[f], self.prec[f], self.lrd[f])
+            d = _mask_topn(d, self.topn)
+            m = jnp.max(d, axis=-1, keepdims=True)          # [T, 1]
+            e = jnp.exp(d - m)                               # [T, K]
+            p = jnp.dot(e, self.w[f], precision=HIGHEST)     # [T, S] GEMM
+            s = jnp.log(jnp.maximum(p, 1e-37)) + m
+            out = s if out is None else out + s
+        return out
+
+    def __call__(self, feats):
+        return self.score(feats)
+
+
+class ContinuousScorer:
+    """Fully-continuous per-senone GMM scorer (sphinx3 cont_mgau / ms_mgau
+    capability): one codebook per senone.
+
+    means/prec: [S, K, D]; ln_mixw: [S, K] (single stream) ->
+    score[t,s] = logsumexp_k( lnw[s,k] + ll[t,s,k] ).
+    """
+
+    def __init__(self, gauden: GaussianParams, ln_mixw: np.ndarray,
+                 topn: int = 0):
+        if gauden.n_feat != 1:
+            raise ValueError("continuous scorer expects a single feature stream")
+        S, K, D = gauden.n_mgau, gauden.n_density, gauden.maxlen
+        means = gauden.means[:, 0]       # [S, K, D]
+        prec = gauden.prec[:, 0]
+        lrd = gauden.lrd[:, 0]           # [S, K]
+        lnw = ln_mixw.reshape(S, K) if ln_mixw.ndim != 2 else ln_mixw
+        # Fold mixture weights into the density constant term.
+        const = (lrd + lnw - (prec * means * means).sum(-1))  # [S, K]
+        self.lin = jnp.asarray((2.0 * prec * means).reshape(S * K, D).T)   # [D, S*K]
+        self.quad = jnp.asarray(prec.reshape(S * K, D).T)                  # [D, S*K]
+        self.const = jnp.asarray(const.reshape(S * K))
+        self.n_sen, self.n_density = S, K
+        self.topn = topn
+
+    def score(self, feats) -> jnp.ndarray:
+        """feats [T, D] -> [T, S]."""
+        ll = (self.const[None, :]
+              + jnp.dot(feats, self.lin, precision=HIGHEST)
+              - jnp.dot(feats * feats, self.quad, precision=HIGHEST))  # [T, S*K]
+        ll = ll.reshape(feats.shape[0], self.n_sen, self.n_density)
+        if self.topn:
+            ll = _mask_topn(ll, self.topn)
+        return jax.nn.logsumexp(ll, axis=-1)
+
+    def __call__(self, feats):
+        return self.score(feats)
+
+
+class PTMScorer:
+    """Phonetically-tied-mixture scorer (ptm_mgau capability): one codebook
+    per CI phone; each senone mixes its phone's codebook.
+
+    gauden: n_mgau = n_ci codebooks; ln_mixw [n_sen, K]; sen2cb [n_sen]
+    maps senone -> codebook.
+    """
+
+    def __init__(self, gauden: GaussianParams, ln_mixw: np.ndarray,
+                 sen2cb: np.ndarray, topn: int = 0):
+        if gauden.n_feat != 1:
+            raise ValueError("PTM scorer expects a single feature stream")
+        C, K, D = gauden.n_mgau, gauden.n_density, gauden.maxlen
+        means = gauden.means[:, 0]       # [C, K, D]
+        prec = gauden.prec[:, 0]
+        lrd = gauden.lrd[:, 0]
+        const = lrd - (prec * means * means).sum(-1)          # [C, K]
+        self.lin = jnp.asarray((2.0 * prec * means).reshape(C * K, D).T)
+        self.quad = jnp.asarray(prec.reshape(C * K, D).T)
+        self.const = jnp.asarray(const.reshape(C * K))
+        self.lnw = jnp.asarray(ln_mixw.astype(np.float32))    # [S, K]
+        self.sen2cb = jnp.asarray(sen2cb.astype(np.int32))    # [S]
+        self.n_cb, self.n_density = C, K
+        self.n_sen = ln_mixw.shape[0]
+        self.topn = topn
+
+    def score(self, feats) -> jnp.ndarray:
+        T = feats.shape[0]
+        ll = (self.const[None, :]
+              + jnp.dot(feats, self.lin, precision=HIGHEST)
+              - jnp.dot(feats * feats, self.quad, precision=HIGHEST)
+              ).reshape(T, self.n_cb, self.n_density)
+        if self.topn:
+            ll = _mask_topn(ll, self.topn)
+        per_sen = ll[:, self.sen2cb, :]                       # [T, S, K] gather
+        return jax.nn.logsumexp(per_sen + self.lnw[None], axis=-1)
+
+    def __call__(self, feats):
+        return self.score(feats)
+
+
+def naive_semi_scores(feats, gauden: GaussianParams, ln_mixw, stream_slices):
+    """Pure-numpy O(T*K*S) reference implementation for unit tests."""
+    T = feats.shape[0]
+    S = ln_mixw.shape[-1]
+    out = np.zeros((T, S), np.float64)
+    for f in range(gauden.n_feat):
+        ln = gauden.veclen[f]
+        x = np.asarray(feats)[:, stream_slices[f]]
+        m = gauden.means[0, f, :, :ln]
+        p = gauden.prec[0, f, :, :ln]
+        d = gauden.lrd[0, f][None, :] - (
+            (x[:, None, :] - m[None]) ** 2 * p[None]).sum(-1)  # [T, K]
+        ll = d[:, :, None] + ln_mixw[f][None]                   # [T, K, S]
+        mx = ll.max(axis=1, keepdims=True)
+        out += (np.log(np.exp(ll - mx).sum(axis=1)) + mx[:, 0]).astype(np.float64)
+    return out
