@@ -1,1 +1,2 @@
-from .fsg_search import FsgSearch
+from .fsg_search import FsgSearch, Hypothesis, Segment
+from .ngram_search import NgramSearch

@@ -1,0 +1,103 @@
+"""Device-resident trigram LM lookup.
+
+The lm3g hot path (reference: sphinxbase lm/lm3g_templates.c:46-260
+find_bg/find_tg binary searches + tginfo caches) reformulated for TPU
+(SURVEY.md §7 "Trigram LM on device"): the CSR successor tables
+(ngram.py) ship to HBM unchanged and lookup is a *vectorized row-wise
+binary search* — every query lane runs the same fori_loop bisection over
+its own [ptr[row], ptr[row+1]) range, so thousands of (history, word)
+queries per frame resolve in ~32 rounds of gathers that the TPU pipeline
+hides entirely.  No composite sort keys (which would overflow int32 for
+large vocabularies) and no tginfo caches: recomputation is cheaper than
+bookkeeping on this hardware.
+
+`score_tg(w1, w2, w3)` evaluates the full backoff chain branch-free for
+whole query arrays; the decoder issues one [E, V] call per frame for all
+(exit-history, entry-word) pairs.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ngram import NgramModel
+
+
+def _row_search(data, lo, hi, key):
+    """First index i in [lo, hi) with data[i] == key, else -1.
+
+    data: [N] sorted within each row; lo/hi/key: same-shape query arrays.
+    Pure fixed-trip binary search (bisect_left), jit/vmap friendly.
+    """
+    n_iter = max(int(np.ceil(np.log2(max(int(data.shape[0]), 2)))) + 1, 1)
+    lo, hi, key = jnp.broadcast_arrays(lo, hi, key)
+
+    def body(_, lh):
+        l, h = lh
+        m = (l + h) // 2
+        go_right = data[jnp.minimum(m, data.shape[0] - 1)] < key
+        return jnp.where(go_right, m + 1, l), jnp.where(go_right, h, m)
+
+    l, _ = jax.lax.fori_loop(0, n_iter, body, (lo, hi))
+    found = (l < hi) & (data[jnp.minimum(l, data.shape[0] - 1)] == key)
+    return jnp.where(found, l, -1)
+
+
+class DeviceNgram:
+    """Immutable device tables for vectorized backoff scoring."""
+
+    def __init__(self, m: NgramModel):
+        self.V = m.n_words
+        self.n = m.n
+        self.ug_prob = jnp.asarray(m.ug_prob)
+        self.ug_bo = jnp.asarray(m.ug_bo)
+        self.NB = len(m.bg_wid)
+        self.NT = len(m.tg_wid)
+        pad1 = lambda a, d: jnp.asarray(a) if len(a) else jnp.zeros((1,), d)
+        self.bg_ptr = jnp.asarray(m.bg_ptr.astype(np.int32))   # [V+1]
+        self.bg_wid = pad1(m.bg_wid, jnp.int32)
+        self.bg_prob = pad1(m.bg_prob, jnp.float32)
+        self.bg_bo = pad1(m.bg_bo if len(m.bg_bo) else
+                          np.zeros(self.NB, np.float32), jnp.float32)
+        self.tg_ptr = jnp.asarray(m.tg_ptr.astype(np.int32))   # [NB+1]
+        self.tg_wid = pad1(m.tg_wid, jnp.int32)
+        self.tg_prob = pad1(m.tg_prob, jnp.float32)
+
+    # ------------------------------------------------------------------
+    def _find_bg(self, w1, w2):
+        """Bigram row index for (w1, w2), -1 if absent.  Vectorized."""
+        if self.NB == 0:
+            return jnp.full(jnp.shape(w1), -1, jnp.int32)
+        lo = self.bg_ptr[w1]
+        hi = self.bg_ptr[w1 + 1]
+        return _row_search(self.bg_wid, lo, hi, w2)
+
+    def score_bg(self, w2, w3):
+        """bg(w2, w3) with unigram backoff; w2 < 0 -> unigram."""
+        w2c = jnp.maximum(w2, 0)
+        b = self._find_bg(w2c, w3)
+        hit = b >= 0
+        bc = jnp.maximum(b, 0)
+        backoff = self.ug_bo[w2c] + self.ug_prob[w3]
+        s = jnp.where(hit, self.bg_prob[bc], backoff)
+        return jnp.where(w2 < 0, self.ug_prob[w3], s)
+
+    def score_tg(self, w1, w2, w3):
+        """Full trigram backoff chain, vectorized over query arrays.
+
+        w1 may be -1 (no context -> bigram), w2 may be -1 (-> unigram).
+        """
+        bg23 = self.score_bg(w2, w3)
+        if self.n < 3 or self.NT == 0:
+            return bg23
+        w1c, w2c = jnp.maximum(w1, 0), jnp.maximum(w2, 0)
+        b = self._find_bg(w1c, w2c)
+        bhit = b >= 0
+        bc = jnp.maximum(b, 0)
+        t = _row_search(self.tg_wid, self.tg_ptr[bc], self.tg_ptr[bc + 1], w3)
+        thit = bhit & (t >= 0)
+        via_bo = jnp.where(bhit, self.bg_bo[bc], 0.0) + bg23
+        s = jnp.where(thit, self.tg_prob[jnp.maximum(t, 0)], via_bo)
+        return jnp.where(w1 < 0, bg23, s)
