@@ -175,9 +175,16 @@ class FeatPipeline:
         """Batch (whole-utterance) path: [T, ncep] -> [T, D].
 
         Equivalent to feat_s2mfc2feat_block_utt with beginutt=endutt=1:
-        CMN over the utterance, AGC, replicate-padded deltas, LDA.
+        replicate-pad by the feature window FIRST, then CMN over the padded
+        block (feat_compute_utt runs cmn over nfr = T + 2*win frames — the
+        padding frames are included in the CMN statistics), AGC, deltas, LDA.
         """
         cep = jnp.asarray(cep, jnp.float32)
+        w = self.window
+        if w:
+            cep = jnp.concatenate([
+                jnp.repeat(cep[:1], w, axis=0), cep,
+                jnp.repeat(cep[-1:], w, axis=0)])
         if self.cmn_type == "current" and batch_cmn:
             mean = jnp.mean(cep, axis=0, keepdims=True)
             if self.varnorm:
@@ -189,21 +196,28 @@ class FeatPipeline:
             cep = cep - jnp.asarray(self._cmn_mean)[None, :]
         if self.agc_type == "max":
             cep = cep.at[:, 0].add(-jnp.max(cep[:, 0]))
-        feats = self._dynamic(cep)
+        feats = self._dynamic(cep, padded=True)
         if self.lda is not None:
             feats = jnp.dot(feats, jnp.asarray(self.lda[: self.out_dim]).T,
                             precision=jax.lax.Precision.HIGHEST)
         return feats
 
-    def _dynamic(self, cep):
-        """Replicate-pad and compute the configured dynamic feature layout."""
+    def _dynamic(self, cep, padded: bool = False):
+        """Compute the configured dynamic feature layout.  `cep` is either the
+        raw [T, n] cepstra (padded=False: replicate-pad here) or already
+        window-padded [T+2w, n] (padded=True)."""
         w = self.window
         n = self.cepsize
         if w == 0 and self.feat_type not in ("s2_4x", "s3_1x39"):
             return cep
-        pad = jnp.concatenate([
-            jnp.repeat(cep[:1], w, axis=0), cep, jnp.repeat(cep[-1:], w, axis=0)
-        ])
+        if padded and w:
+            pad = cep
+            cep = pad[w:-w]
+        else:
+            pad = jnp.concatenate([
+                jnp.repeat(cep[:1], w, axis=0), cep,
+                jnp.repeat(cep[-1:], w, axis=0)
+            ])
         T = cep.shape[0]
 
         def sh(k):  # frame t+k for t in [0, T)

@@ -255,8 +255,9 @@ class Mdef:
     # ------------------------------------------------------------------
     def phone_id(self, b: int, lc: int = -1, rc: int = -1, wpos: int = -1) -> int:
         """Triphone lookup with fallbacks as in bin_mdef_phone_id_nearest
-        (bin_mdef.c:739-831): fillers in context map to SIL; exact triphone,
-        then other word positions, then the CI phone."""
+        (bin_mdef.c:739-870): fillers in context map to SIL; exact triphone,
+        then other word positions, then *silence contexts* (lc->SIL for
+        begin/single, rc->SIL for end/single), and only then the CI phone."""
         if lc < 0 or rc < 0:
             return b
         if self.sil >= 0:
@@ -264,13 +265,31 @@ class Mdef:
                 lc = self.sil
             if self.is_filler(rc):
                 rc = self.sil
-        pid = self._tri_index.get((b, lc, rc, wpos), -1)
-        if pid >= 0:
-            return pid
-        for wp in range(4):
-            pid = self._tri_index.get((b, lc, rc, wp), -1)
+
+        def lookup(l, r):
+            pid = self._tri_index.get((b, l, r, wpos), -1)
             if pid >= 0:
                 return pid
+            for wp in range(4):
+                pid = self._tri_index.get((b, l, r, wp), -1)
+                if pid >= 0:
+                    return pid
+            return -1
+
+        pid = lookup(lc, rc)
+        if pid >= 0:
+            return pid
+        # Back off cross-word contexts to silence (bin_mdef.c:838-860).
+        if self.sil >= 0:
+            newl, newr = lc, rc
+            if wpos in (1, 3):      # begin / single
+                newl = self.sil
+            if wpos in (2, 3):      # end / single
+                newr = self.sil
+            if (newl, newr) != (lc, rc):
+                pid = lookup(newl, newr)
+                if pid >= 0:
+                    return pid
         return b
 
     def is_filler(self, ci: int) -> bool:

@@ -33,8 +33,12 @@ SENSCR_SHIFT = 10  # reference hmm.h:63
 
 
 def read_sendump(path: str, logbase: float = 1.0001,
-                 truncate: bool = True) -> np.ndarray:
-    """Read a sendump file -> ln mixture weights [n_feat, n_density, n_sen]."""
+                 truncate: bool = True, return_raw: bool = False) -> np.ndarray:
+    """Read a sendump file -> ln mixture weights [n_feat, n_density, n_sen].
+
+    With return_raw=True, returns (weights, meta): the quantized uint8
+    negated-log weights unscaled (the exact values the reference decoder
+    computes with) and a dict with n_bits/logbase/shift."""
     with open(path, "rb") as fh:
         data = fh.read()
 
@@ -88,8 +92,11 @@ def read_sendump(path: str, logbase: float = 1.0001,
                     logbase = float(val)
                 elif key == "mixw_shift":
                     shift = int(val)
+    cols = None
     if n_clust == 0:
-        # Legacy layout: explicit rows/columns follow.
+        # Legacy layout: explicit rows/columns follow.  NOTE: the column
+        # count may be PADDED past n_sen (s2_semi_mgau.c:92-107 "they might
+        # be padded") — rows are strided by `c`, not n_sen.
         r = rd_i32(pos, swap)
         pos += 4
         c = rd_i32(pos, swap)
@@ -98,11 +105,14 @@ def read_sendump(path: str, logbase: float = 1.0001,
             n_density = r
         if n_sen is None:
             n_sen = c
+        cols = c
+    if cols is None:
+        cols = n_sen
     if n_clust == 15:
         n_clust += 1
     if n_feat is None:
         # Infer from remaining size.
-        step = n_sen if n_bits == 8 else (n_sen + 1) // 2
+        step = cols if n_bits == 8 else (cols + 1) // 2
         n_feat = (len(data) - pos - n_clust) // (n_density * step)
 
     mixw_cb = None
@@ -110,20 +120,26 @@ def read_sendump(path: str, logbase: float = 1.0001,
         mixw_cb = np.frombuffer(data, np.uint8, n_clust, pos)
         pos += n_clust
 
-    step = n_sen if n_bits == 8 else (n_sen + 1) // 2
+    step = cols if n_bits == 8 else (cols + 1) // 2
     raw = np.frombuffer(data, np.uint8, n_feat * n_density * step, pos)
     raw = raw.reshape(n_feat, n_density, step)
+    if n_bits == 8:
+        raw = raw[:, :, :n_sen]
     if n_bits == 4:
-        # Unpack nibbles: high nibble = even senone, low = odd
-        # (s2_semi_mgau.c get_scores_4b_feat: cw = x >> 4 for even, x & 0xf odd).
+        # Unpack nibbles: LOW nibble = even senone, HIGH = odd
+        # (s2_semi_mgau.c get_scores_4b_feat_*: cw = x & 0xf when (n&1)==0,
+        # x >> 4 when odd).
         hi = (raw >> 4).astype(np.uint8)
         lo = (raw & 0x0F).astype(np.uint8)
         un = np.empty((n_feat, n_density, step * 2), np.uint8)
-        un[:, :, 0::2] = hi
-        un[:, :, 1::2] = lo
-        raw = un[:, :, :n_sen]
+        un[:, :, 0::2] = lo
+        un[:, :, 1::2] = hi
+        raw = un[:, :, :n_sen]  # also trims any column padding
         raw = mixw_cb[raw]  # dequantize through the codebook
 
+    if return_raw:
+        return np.ascontiguousarray(raw), {
+            "n_bits": n_bits, "logbase": logbase, "shift": shift}
     scale = float((1 << shift) * math.log(logbase))
     return (-raw.astype(np.float32)) * scale
 

@@ -203,6 +203,110 @@ class PTMScorer:
         return self.score(feats)
 
 
+def logadd8_table(base: float = 1.0001, shift: int = 10) -> np.ndarray:
+    """The reference's 8-bit shifted logadd table (logmath.c:90-160 built with
+    logmath_init(base, SENSCR_SHIFT, TRUE)): table[d] = shifted-round of
+    log_base(1 + base^-(d<<shift)) evaluated at the first full-domain index
+    mapping to d."""
+    import math as _m
+    ln_b = _m.log(base)
+    d = np.arange(256, dtype=np.int64)
+    i = (d << shift).astype(np.float64)
+    k = np.floor((np.log1p(np.power(base, -i)) / ln_b) + 0.5 * (1 << shift))
+    return (k.astype(np.int64) >> shift).astype(np.int32)
+
+
+class PsParityScorer:
+    """Bit-faithful emulation of the reference semi-continuous scorer
+    (s2_semi_mgau.c eval_topn/eval_cb/mgau_norm/get_scores_8b_feat):
+
+    densities in the quantized logmath domain (int32, units of
+    2^shift * ln(base) ~= 0.1024 nats), per-frame/per-stream top-N, best
+    normalized to 0, negated, clamped to MAX_NEG_ASCR; senone scores =
+    8-bit-table logadd of (quantized mixw byte + density) summed over
+    streams.  The clamps (MAX_NEG_ASCR=96 ~= 9.8 nats, MAX_NEG_MIXW=159)
+    act as robustness floors and materially shape WER — use this scorer to
+    reproduce the reference's decoding behavior on its shipped models.
+
+    Returns natural-log senone scores [T, n_sen], frame-relative (<= 0).
+    """
+
+    MAX_NEG_ASCR = 96    # tied_mgau_common.h:85
+    MAX_NEG_MIXW = 159   # tied_mgau_common.h:84
+
+    def __init__(self, gauden: GaussianParams, raw_mixw: np.ndarray,
+                 stream_slices: Sequence[np.ndarray], topn: int = 4,
+                 logbase: float = 1.0001, shift: int = 10,
+                 wrap_uint8: bool = False):
+        import math as _m
+        if gauden.n_mgau != 1:
+            raise ValueError("parity scorer needs a single codebook set")
+        self.n_feat = gauden.n_feat
+        self.topn = topn
+        self.ln_b = _m.log(logbase)
+        self.shift = shift
+        self.scale = float((1 << shift) * self.ln_b)
+        self.stream_slices = [np.asarray(s, np.int32) for s in stream_slices]
+        inv = 1.0 / self.ln_b
+        self.means, self.prec, self.lrd = [], [], []
+        for f in range(self.n_feat):
+            ln = gauden.veclen[f]
+            self.means.append(jnp.asarray(gauden.means[0, f, :, :ln]))
+            # Logmath-domain precomputation with the reference's per-dim
+            # integer truncation (gauden_dist_precompute ms_gauden.c:332-351:
+            # det += (int)logmath_log(1/sqrt(2 pi var)) per dim; var =
+            # (int)logmath_ln_to_log(1/(2 var))).
+            v = gauden.var[0, f, :, :ln].astype(np.float64)
+            # NB: the reference passes the *linear* precision 1/(2 var) to
+            # logmath_ln_to_log, which only scales by 1/ln(base) — no log.
+            prec_lm = np.trunc((1.0 / (2.0 * v)) * inv)
+            det_lm = np.trunc(np.log(1.0 / np.sqrt(2.0 * np.pi * v)) * inv
+                              ).sum(axis=-1)
+            self.prec.append(jnp.asarray(prec_lm.astype(np.float32)))
+            self.lrd.append(jnp.asarray(det_lm.astype(np.float32)))
+        # Bytes are used as-is — MAX_NEG_MIXW clamping happens only when
+        # quantizing float mixture_weights, not on sendump load.
+        mw = raw_mixw.astype(np.int32)
+        self.mixw = [jnp.asarray(mw[f]) for f in range(self.n_feat)]  # [K, S]
+        # 4-bit models precompute w_den = mixw_cb + density in a uint8 array
+        # (get_scores_4b_feat_*), so the sum wraps at 256; 8-bit models
+        # promote to int and do not.
+        self.wrap_uint8 = wrap_uint8
+        self.n_sen = raw_mixw.shape[-1]
+        self.table8 = jnp.asarray(logadd8_table(logbase, shift))
+        self._score = jax.jit(self._score_impl)
+
+    def _score_impl(self, feats):
+        acc = None
+        for f in range(self.n_feat):
+            x = feats[:, self.stream_slices[f]]
+            d = density_logliks(x, self.means[f], self.prec[f], self.lrd[f])
+            # Saturate before the int cast (the reference's float->int32
+            # overflow lands at INT_MIN on x86; these never reach the top-N).
+            d = jnp.clip(d, -2.0e9, 0.0)
+            d_int = d.astype(jnp.int32)                       # C trunc-to-zero
+            vals, idx = jax.lax.top_k(d_int, self.topn)       # [T, N]
+            norm = jnp.right_shift(vals[:, :1], self.shift)
+            fsc = -(jnp.right_shift(vals, self.shift) - norm) # [T, N] >= 0
+            fsc = jnp.minimum(fsc, self.MAX_NEG_ASCR)
+            w = self.mixw[f][idx]                             # [T, N, S]
+            wrap = (lambda v: v & 0xFF) if self.wrap_uint8 else (lambda v: v)
+            tmp = wrap(w[:, 0] + fsc[:, 0:1])
+            for j in range(1, self.topn):
+                y = wrap(w[:, j] + fsc[:, j : j + 1])
+                lo = jnp.minimum(tmp, y)
+                dd = jnp.minimum(jnp.abs(tmp - y), 255)
+                tmp = lo - self.table8[dd]
+            acc = tmp if acc is None else acc + tmp
+        return -acc.astype(jnp.float32) * jnp.float32(self.scale)
+
+    def score(self, feats) -> jnp.ndarray:
+        return self._score(feats)
+
+    def __call__(self, feats):
+        return self.score(feats)
+
+
 def naive_semi_scores(feats, gauden: GaussianParams, ln_mixw, stream_slices):
     """Pure-numpy O(T*K*S) reference implementation for unit tests."""
     T = feats.shape[0]

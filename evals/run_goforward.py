@@ -28,7 +28,7 @@ def main():
     from cmusphinx_tpu.models.dict import Dictionary
     from cmusphinx_tpu.models.gauden import read_gauden
     from cmusphinx_tpu.models.ngram import NgramModel
-    from cmusphinx_tpu.ops.gmm import SemiContinuousScorer
+    from cmusphinx_tpu.ops.gmm import PsParityScorer
     from cmusphinx_tpu.utils.config import Config
 
     R = "/root/reference/pocketsphinx"
@@ -36,7 +36,7 @@ def main():
     t0 = time.time()
     mdef = Mdef.read(H + "/mdef")
     g = read_gauden(H + "/means", H + "/variances")
-    w = read_sendump(H + "/sendump")
+    w, meta = read_sendump(H + "/sendump", return_raw=True)
     tmat = TransitionMatrices.read(H + "/transition_matrices")
     d = Dictionary.read(R + "/model/lm/en/turtle.dic", mdef,
                         filler_path=H + "/noisedict")
@@ -45,7 +45,7 @@ def main():
     cfg.update_from_file(H + "/feat.params")
     fe = Frontend(cfg)
     fp = FeatPipeline(cfg)
-    scorer = SemiContinuousScorer(g, w, fp.stream_slices())
+    scorer = PsParityScorer(g, w, fp.stream_slices(), wrap_uint8=meta["n_bits"] == 4)
     search = NgramSearch(lm, d, mdef, tmat, scorer)
     print(f"load: {time.time() - t0:.1f}s; graph {search.graph.n_chan} channels "
           f"/ {search.graph.n_word} words", flush=True)

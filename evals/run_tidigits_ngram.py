@@ -33,7 +33,7 @@ def main():
     from cmusphinx_tpu.models.dict import Dictionary
     from cmusphinx_tpu.models.gauden import read_gauden
     from cmusphinx_tpu.models.ngram import NgramModel
-    from cmusphinx_tpu.ops.gmm import SemiContinuousScorer
+    from cmusphinx_tpu.ops.gmm import PsParityScorer
     from cmusphinx_tpu.utils.bio import read_mfc
     from cmusphinx_tpu.utils.config import Config
 
@@ -41,14 +41,14 @@ def main():
     H = R + "/model/hmm/en/tidigits"
     mdef = Mdef.read(H + "/mdef")
     g = read_gauden(H + "/means", H + "/variances")
-    w = read_sendump(H + "/sendump")
+    w, meta = read_sendump(H + "/sendump", return_raw=True)
     tmat = TransitionMatrices.read(H + "/transition_matrices")
     d = Dictionary.read(R + "/model/lm/en/tidigits.dic", mdef)
     lm = NgramModel.read(R + "/model/lm/en/tidigits.DMP")
     cfg = Config(FE_ARGS, FEAT_ARGS)
     cfg.update_from_file(H + "/feat.params")
     fp = FeatPipeline(cfg)
-    scorer = SemiContinuousScorer(g, w, fp.stream_slices())
+    scorer = PsParityScorer(g, w, fp.stream_slices(), wrap_uint8=meta["n_bits"] == 4)
     search = NgramSearch(lm, d, mdef, tmat, scorer)
     print(f"graph: {search.graph.n_chan} channels / {search.graph.n_word} words",
           flush=True)

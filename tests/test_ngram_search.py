@@ -13,7 +13,7 @@ from cmusphinx_tpu.models.dict import Dictionary
 from cmusphinx_tpu.models.gauden import read_gauden
 from cmusphinx_tpu.models.ngram import NgramModel
 from cmusphinx_tpu.models.ngram_device import DeviceNgram
-from cmusphinx_tpu.ops.gmm import SemiContinuousScorer
+from cmusphinx_tpu.ops.gmm import PsParityScorer
 from cmusphinx_tpu.utils.bio import read_mfc
 from cmusphinx_tpu.utils.config import Config
 
@@ -52,27 +52,27 @@ def tidigits_search(reference_root):
     H = R / "model/hmm/en/tidigits"
     mdef = Mdef.read(str(H / "mdef"))
     g = read_gauden(str(H / "means"), str(H / "variances"))
-    w = read_sendump(str(H / "sendump"))
+    w, meta = read_sendump(str(H / "sendump"), return_raw=True)
     tmat = TransitionMatrices.read(str(H / "transition_matrices"))
     d = Dictionary.read(str(R / "model/lm/en/tidigits.dic"), mdef)
     lm = NgramModel.read(str(R / "model/lm/en/tidigits.DMP"))
     cfg = Config(FE_ARGS, FEAT_ARGS)
     cfg.update_from_file(str(H / "feat.params"))
     fp = FeatPipeline(cfg)
-    scorer = SemiContinuousScorer(g, w, fp.stream_slices())
+    scorer = PsParityScorer(g, w, fp.stream_slices(),
+                            wrap_uint8=meta["n_bits"] == 4)
     return NgramSearch(lm, d, mdef, tmat, scorer), fp, R
 
 
+# With the cross-word triphone graph + reference-parity senone scoring the
+# decoder reproduces the reference's golden output on the full 31-utterance
+# tidigits regression set (0% WER); these are a fast subset.
 TIDIGITS_REFS = {
-    "man.ah.2934za": "TWO NINE THREE FOUR ZERO",
-    "woman.ak.99731a": "NINE NINE SEVEN THREE ONE",
-}
-
-# Utterances that still misdecode with silence-approximated cross-word
-# triphone contexts (reference decodes them correctly via mpx left contexts
-# + right-context fanout; see test_ngram_decode_tidigits_xwd below).
-TIDIGITS_XWD_REFS = {
     "man.ah.111a": "ONE ONE ONE",
+    "man.ah.2934za": "TWO NINE THREE FOUR ZERO",
+    "man.ah.8b": "EIGHT",
+    "woman.ak.99731a": "NINE NINE SEVEN THREE ONE",
+    "woman.ak.ooa": "OH OH",
 }
 
 
@@ -86,16 +86,6 @@ def test_ngram_decode_tidigits(tidigits_search):
         # Segments cover the utterance in order.
         for a, b in zip(hyp.segments, hyp.segments[1:]):
             assert b.start_frame == a.end_frame + 1
-
-
-@pytest.mark.xfail(reason="needs cross-word triphone contexts (in progress)",
-                   strict=False)
-def test_ngram_decode_tidigits_xwd(tidigits_search):
-    search, fp, R = tidigits_search
-    for utt, ref in TIDIGITS_XWD_REFS.items():
-        cep = read_mfc(str(R / f"test/data/tidigits/{utt}.mfc"))
-        hyp = search.decode(np.asarray(fp.compute(cep)))
-        assert hyp.text == ref, f"{utt}: {hyp.text!r} != {ref!r}"
 
 
 def test_ngram_decode_empty(tidigits_search):
