@@ -156,6 +156,18 @@ class NgramSearch:
             if w in ("<sil>", "</s>", "<s>"):
                 fp[k] = self.silpen
         self._fil_pen = jnp.asarray(fp)
+        # Static initial entries with history (<s>,) and silence left context.
+        ent0 = np.zeros(v.n_word, np.float32)
+        for k in range(v.n_word):
+            if v.is_filler[k]:
+                ent0[k] = fp[k]
+            else:
+                ent0[k] = self.lw * self.lm.bg_score(
+                    self.start_lmwid, int(v.lmwid[k])) + self.log_wip
+        entc0 = np.full((g.n_chan,), float(NEG_INF), np.float32)
+        sel = g.is_entry & g.ent_lc_mask[:, self.sil_ci]
+        entc0[sel] = ent0[g.word_of[sel]]
+        self._entc0 = jnp.asarray(entc0)
         self._step_fn = jax.jit(self._make_step())
 
     # ------------------------------------------------------------------
@@ -266,35 +278,16 @@ class NgramSearch:
     # ------------------------------------------------------------------
     FRAME_BUCKET = 100
 
-    def decode(self, feats: np.ndarray) -> Hypothesis:
-        """feats [T, D] -> best hypothesis."""
-        g, v, E = self.graph, self.vocab, self.E
-        T = int(feats.shape[0])
-        if T == 0:
-            return Hypothesis([], float("-inf"), [])
-        Tpad = -(-T // self.FRAME_BUCKET) * self.FRAME_BUCKET
-        fpad = np.zeros((Tpad, feats.shape[1]), np.float32)
-        fpad[:T] = feats
-        scores = self.scorer.score(jnp.asarray(fpad))           # [Tpad, n_sen]
-        valid = jnp.arange(Tpad) < T
-
-        # Initial entries with history (<s>,) and silence left context.
-        ent0 = np.zeros(v.n_word, np.float32)
-        fp = np.asarray(self._fil_pen)
-        for k in range(v.n_word):
-            if v.is_filler[k]:
-                ent0[k] = fp[k]
-            else:
-                ent0[k] = self.lw * self.lm.bg_score(
-                    self.start_lmwid, int(v.lmwid[k])) + self.log_wip
-        entc0 = np.full((g.n_chan,), float(NEG_INF), np.float32)
-        sel = g.is_entry & g.ent_lc_mask[:, self.sil_ci]
-        entc0[sel] = ent0[g.word_of[sel]]
+    def device_decode(self, feats, valid):
+        """Pure device program: padded feats [Tpad, D] + valid mask [Tpad] ->
+        backpointer tape arrays.  jit/vmap/shard_map-compatible."""
+        g, E = self.graph, self.E
+        Tpad = feats.shape[0]
+        scores = self.scorer.score(feats)                        # [Tpad, n_sen]
         alpha = jnp.full((g.n_chan, g.n_emit_state), NEG_INF)
         hist = jnp.full((g.n_chan, g.n_emit_state), -1, jnp.int32)
-        alpha, (hist,) = hmm_enter(alpha, (hist,), jnp.asarray(entc0),
+        alpha, (hist,) = hmm_enter(alpha, (hist,), self._entc0,
                                    (jnp.full((g.n_chan,), -1, jnp.int32),))
-
         B = Tpad * E
         tape = (jnp.full((B,), -1, jnp.int32), jnp.full((B,), NEG_INF),
                 jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
@@ -303,6 +296,18 @@ class NgramSearch:
         (alpha, hist, tape), _ = jax.lax.scan(
             self._step_fn, (alpha, hist, tape),
             (scores, jnp.arange(Tpad, dtype=jnp.int32), valid))
+        return tape
+
+    def decode(self, feats: np.ndarray) -> Hypothesis:
+        """feats [T, D] -> best hypothesis."""
+        T = int(feats.shape[0])
+        if T == 0:
+            return Hypothesis([], float("-inf"), [])
+        Tpad = -(-T // self.FRAME_BUCKET) * self.FRAME_BUCKET
+        fpad = np.zeros((Tpad, feats.shape[1]), np.float32)
+        fpad[:T] = feats
+        valid = jnp.arange(Tpad) < T
+        tape = self.device_decode(jnp.asarray(fpad), valid)
         tw, tsc, tprev, th2, th1, trc = (np.asarray(a) for a in tape)
         return self._backtrace(tw, tsc, tprev, th2, th1, trc, T)
 
