@@ -1,0 +1,356 @@
+"""Word lattices and the results layer: bestpath, posteriors, N-best.
+
+Capability parity with ps_lattice.c (reference:
+pocketsphinx/src/libpocketsphinx/ps_lattice.c:1224 ps_lattice_bestpath,
+:1394 ps_lattice_posterior, :1657 ps_astar_start / :1717 ps_astar_next,
+:232-409 Sphinx lattice read/write, :292 HTK SLF write) and the sphinx3
+DAG tools (sphinx3/src/libs3decoder/libsearch/{dag,astar}.c,
+libconfidence/confidence.c word posteriors).
+
+The lattice is built from the decoder's device backpointer tape: every tape
+slot is a word *instance* (word, start frame, end frame) with per-right-
+context exit scores (the bscore_stack analog).  Links connect any instance
+ending at frame f to any instance starting at f+1 — the standard
+word-boundary context-independence assumption the reference's lattice
+construction (ngram_search.c:1100 ngram_search_lattice) also makes.
+
+Unlike the reference's bestpath (which approximates the trigram history with
+the single best predecessor per node), `bestpath()` here is an EXACT trigram
+Viterbi over link states (pairs of adjacent instances) — affordable on host
+because lattices are small (T x maxwpf instances).
+"""
+
+from __future__ import annotations
+
+import heapq
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .fsg_search import Hypothesis, Segment
+
+NEG = -1.0e30
+
+
+@dataclass
+class LatNode:
+    """A word instance (tape slot)."""
+    id: int
+    word: str          # word string (search vocabulary entry)
+    kidx: int          # search word index
+    lmwid: int         # LM word id (-1 for fillers)
+    is_filler: bool
+    fil_pen: float
+    sf: int            # start frame
+    ef: int            # end frame (inclusive)
+    vit_score: float   # Viterbi exit score from pass 1 (best rc)
+    rc_score: np.ndarray  # per-right-context exit scores [n_ci]
+    entry_score: float    # score at word entry on the pass-1 path
+    preds: List[int] = field(default_factory=list)
+    succs: List[int] = field(default_factory=list)
+
+
+class Lattice:
+    """Word lattice over decoder tape slots."""
+
+    def __init__(self, nodes: List[LatNode], firstci: np.ndarray,
+                 lastci: np.ndarray, lm, lw: float, log_wip: float,
+                 sil_ci: int, finish_lmwid: int, T: int,
+                 logbase: float = 1.0001):
+        self.nodes = nodes
+        self.firstci = firstci
+        self.lastci = lastci
+        self.lm = lm
+        self.lw = lw
+        self.log_wip = log_wip
+        self.sil_ci = sil_ci
+        self.finish_lmwid = finish_lmwid
+        self.n_frames = T
+        self.logbase = logbase
+        self._index_edges()
+
+    def _index_edges(self):
+        # A final node must cover the end of the utterance; mid-utterance
+        # dead ends are deleted (ps_lattice.c:196 unreachable deletion) —
+        # scores are frame-relative, so partial-coverage paths would
+        # otherwise win.
+        maxef = max((n.ef for n in self.nodes), default=-1)
+        alive = set()
+        by_sf: Dict[int, List[int]] = {}
+        for n in self.nodes:
+            by_sf.setdefault(n.sf, []).append(n.id)
+        # Backward reachability from final-frame nodes (iterative: successors
+        # always start later, so process in decreasing start-frame order).
+        succ_of = {n.id: by_sf.get(n.ef + 1, []) for n in self.nodes}
+        reaches: Dict[int, bool] = {}
+        for n in sorted(self.nodes, key=lambda x: -x.sf):
+            reaches[n.id] = n.ef == maxef or any(
+                reaches.get(j, False) for j in succ_of[n.id])
+        keep = [n for n in self.nodes if reaches[n.id]]
+        remap = {n.id: i for i, n in enumerate(keep)}
+        for i, n in enumerate(keep):
+            n.id = i
+        self.nodes = keep
+        by_sf = {}
+        for n in self.nodes:
+            by_sf.setdefault(n.sf, []).append(n.id)
+        for n in self.nodes:
+            n.preds = []
+        for n in self.nodes:
+            n.succs = list(by_sf.get(n.ef + 1, []))
+            for s in n.succs:
+                self.nodes[s].preds.append(n.id)
+        self._starts = [n.id for n in self.nodes if n.sf == 0]
+        self._ends = [n.id for n in self.nodes if n.ef == maxef]
+
+    # ------------------------------------------------------------------
+    def link_ascr(self, src: LatNode, dst_firstci: int) -> float:
+        """Acoustic score of src's word segment when followed by a word
+        starting with CI phone dst_firstci (ngram_compute_seg_score)."""
+        s = float(src.rc_score[dst_firstci])
+        if s <= NEG / 2:
+            s = src.vit_score
+        return s - src.entry_score
+
+    def final_ascr(self, src: LatNode) -> float:
+        """Acoustic score of src as the utterance-final word (rc = SIL)."""
+        s = float(src.rc_score[self.sil_ci])
+        if s <= NEG / 2:
+            s = src.vit_score
+        return s - src.entry_score
+
+    def _lm_term(self, h1: int, h2: int, node: LatNode, lw: float) -> float:
+        if node.is_filler:
+            return node.fil_pen
+        return lw * self.lm.tg_score(h1, h2, node.lmwid) + self.log_wip
+
+    def _next_hist(self, h1: int, h2: int, node: LatNode) -> Tuple[int, int]:
+        if node.is_filler:
+            return h1, h2
+        return h2, node.lmwid
+
+    # ------------------------------------------------------------------
+    def bestpath(self, lw: Optional[float] = None,
+                 start_lmwid: int = -1) -> Hypothesis:
+        """Exact trigram Viterbi over the lattice (ps_lattice_bestpath
+        capability, without its single-history approximation).
+
+        States are (node, LM history pair); the history set reachable at a
+        node is small because fillers are transparent.
+        """
+        lw = self.lw if lw is None else lw
+        # state: (node_id, h1, h2) -> (score, prev_state)
+        best: Dict[Tuple[int, int, int], Tuple[float, Optional[Tuple]]] = {}
+        order = sorted(range(len(self.nodes)),
+                       key=lambda i: (self.nodes[i].sf, self.nodes[i].ef))
+        for i in self._starts:
+            n = self.nodes[i]
+            t = self._lm_term(-1, start_lmwid, n, lw)
+            h = self._next_hist(-1, start_lmwid, n)
+            key = (i, h[0], h[1])
+            sc = t
+            if key not in best or sc > best[key][0]:
+                best[key] = (sc, None)
+        # Process states in topological (sf) order.
+        states_at: Dict[int, List[Tuple[int, int, int]]] = {}
+        for key in list(best):
+            states_at.setdefault(key[0], []).append(key)
+        for i in order:
+            n = self.nodes[i]
+            for key in states_at.get(i, []):
+                sc, _ = best[key]
+                _, h1, h2 = key
+                for j in n.succs:
+                    m = self.nodes[j]
+                    ascr = self.link_ascr(n, self.firstci[m.kidx])
+                    t = self._lm_term(h1, h2, m, lw)
+                    nh = self._next_hist(h1, h2, m)
+                    nkey = (j, nh[0], nh[1])
+                    nsc = sc + ascr + t
+                    if nkey not in best or nsc > best[nkey][0]:
+                        best[nkey] = (nsc, key)
+                        states_at.setdefault(j, []).append(nkey)
+        # Final: add the final word's own acoustics + </s>.
+        bestk, bests = None, -np.inf
+        for key, (sc, _) in best.items():
+            n = self.nodes[key[0]]
+            if n.succs:
+                continue
+            s = sc + self.final_ascr(n)
+            if not (n.lmwid == self.finish_lmwid and not n.is_filler):
+                s += lw * self.lm.tg_score(key[1], key[2], self.finish_lmwid)
+            if s > bests:
+                bestk, bests = key, s
+        if bestk is None:
+            return Hypothesis([], float("-inf"), [])
+        # Backtrace.
+        segs: List[Segment] = []
+        key = bestk
+        while key is not None:
+            n = self.nodes[key[0]]
+            segs.append(Segment(n.word, n.sf, n.ef, best[key][0]))
+            key = best[key][1]
+        segs.reverse()
+        words = [s.word for s in segs
+                 if not self.nodes[self._node_by_seg(s)].is_filler]
+        return Hypothesis(words, float(bests), segs)
+
+    def _node_by_seg(self, seg: Segment) -> int:
+        for n in self.nodes:
+            if n.word == seg.word and n.sf == seg.start_frame and n.ef == seg.end_frame:
+                return n.id
+        return 0
+
+    # ------------------------------------------------------------------
+    def posterior(self, ascale: float = 0.05) -> np.ndarray:
+        """Link-free node posteriors by forward-backward over edges
+        (ps_lattice_posterior capability).  ascale scales acoustic scores
+        (reference -ascale, default 20 -> 1/20)."""
+        N = len(self.nodes)
+        # log alpha/beta over nodes with summed (logaddexp) path mass.
+        alpha = np.full(N, -np.inf)
+        beta = np.full(N, -np.inf)
+        order = sorted(range(N), key=lambda i: (self.nodes[i].sf, self.nodes[i].ef))
+        for i in self._starts:
+            n = self.nodes[i]
+            alpha[i] = ascale * (self._lm_term(-1, -1, n, self.lw))
+        for i in order:
+            n = self.nodes[i]
+            if not np.isfinite(alpha[i]):
+                continue
+            for j in n.succs:
+                m = self.nodes[j]
+                w = ascale * (self.link_ascr(n, self.firstci[m.kidx])
+                              + self._lm_term(-1, n.lmwid, m, self.lw))
+                alpha[j] = np.logaddexp(alpha[j], alpha[i] + w)
+        for i in self._ends:
+            beta[i] = ascale * self.final_ascr(self.nodes[i])
+        for i in reversed(order):
+            n = self.nodes[i]
+            for j in n.succs:
+                m = self.nodes[j]
+                w = ascale * (self.link_ascr(n, self.firstci[m.kidx])
+                              + self._lm_term(-1, n.lmwid, m, self.lw))
+                if np.isfinite(beta[j]):
+                    beta[i] = np.logaddexp(beta[i], beta[j] + w)
+        norm = max((alpha[i] + beta[i] - ascale * self.final_ascr(self.nodes[i])
+                    for i in self._ends if np.isfinite(alpha[i])),
+                   default=-np.inf)
+        # For ends, alpha+beta double-counts nothing; norm = total mass.
+        total = -np.inf
+        for i in self._ends:
+            if np.isfinite(alpha[i]):
+                total = np.logaddexp(total, alpha[i] + beta[i])
+        post = alpha + beta - total
+        return post
+
+    # ------------------------------------------------------------------
+    def nbest(self, n: int = 10, lw: Optional[float] = None,
+              start_lmwid: int = -1) -> List[Hypothesis]:
+        """A* N-best paths (ps_astar capability).  Heuristic = exact
+        best-completion score from a backward Viterbi pass."""
+        lw = self.lw if lw is None else lw
+        N = len(self.nodes)
+        # Backward best-completion (bigram-approximate heuristic).
+        h = np.full(N, -np.inf)
+        order = sorted(range(N), key=lambda i: (self.nodes[i].sf, self.nodes[i].ef))
+        for i in self._ends:
+            node = self.nodes[i]
+            s = self.final_ascr(node)
+            s += lw * self.lm.bg_score(node.lmwid, self.finish_lmwid)
+            h[i] = s
+        for i in reversed(order):
+            node = self.nodes[i]
+            for j in node.succs:
+                m = self.nodes[j]
+                if not np.isfinite(h[j]):
+                    continue
+                s = (self.link_ascr(node, self.firstci[m.kidx])
+                     + self._lm_term(-1, node.lmwid, m, lw) + h[j])
+                h[i] = max(h[i], s)
+        # A* over (partial path ending at node, history).
+        heap = []
+        cnt = 0
+        for i in self._starts:
+            node = self.nodes[i]
+            g = self._lm_term(-1, start_lmwid, node, lw)
+            hist = self._next_hist(-1, start_lmwid, node)
+            heapq.heappush(heap, (-(g + h[i]), cnt, i, g, hist, None))
+            cnt += 1
+        out: List[Hypothesis] = []
+        seen_texts = set()
+        paths: List[Tuple] = []
+        while heap and len(out) < n:
+            negf, _, i, g, hist, parent = heapq.heappop(heap)
+            node = self.nodes[i]
+            entry = (i, g, hist, parent)
+            paths.append(entry)
+            pid = len(paths) - 1
+            if not node.succs:
+                s = g + self.final_ascr(node)
+                if not (node.lmwid == self.finish_lmwid and not node.is_filler):
+                    s += lw * self.lm.tg_score(hist[0], hist[1], self.finish_lmwid)
+                segs = []
+                p = pid
+                while p is not None:
+                    pi, _, _, pparent = paths[p]
+                    nn = self.nodes[pi]
+                    segs.append(Segment(nn.word, nn.sf, nn.ef, 0.0))
+                    p = pparent
+                segs.reverse()
+                words = []
+                for seg in segs:
+                    nn = self.nodes[self._node_by_seg(seg)]
+                    if not nn.is_filler:
+                        words.append(seg.word)
+                text = " ".join(words)
+                if text not in seen_texts:
+                    seen_texts.add(text)
+                    out.append(Hypothesis(words, float(s), segs))
+                continue
+            for j in node.succs:
+                m = self.nodes[j]
+                g2 = (g + self.link_ascr(node, self.firstci[m.kidx])
+                      + self._lm_term(hist[0], hist[1], m, lw))
+                hist2 = self._next_hist(hist[0], hist[1], m)
+                heapq.heappush(heap, (-(g2 + h[j]), cnt, j, g2, hist2, pid))
+                cnt += 1
+        return out
+
+    # ------------------------------------------------------------------
+    def write(self, path: str, uttid: str = "utt") -> None:
+        """Sphinx lattice text format (ps_lattice.c:232-370)."""
+        lb = math.log(self.logbase)
+        with open(path, "w") as fh:
+            fh.write("# getcwd: /\n")
+            fh.write(f"# -logbase {self.logbase:g}\n")
+            fh.write(f"Frames {self.n_frames}\n#\n")
+            fh.write(f"Nodes {len(self.nodes)} (NODEID WORD STARTFRAME "
+                     f"FIRST-ENDFRAME LAST-ENDFRAME)\n")
+            for n in self.nodes:
+                fh.write(f"{n.id} {n.word} {n.sf} {n.ef} {n.ef}\n")
+            start = self._starts[0] if self._starts else 0
+            end = max(self._ends, key=lambda i: self.nodes[i].ef) if self._ends else 0
+            fh.write(f"Initial {start}\nFinal {end}\n")
+            links = [(n.id, j) for n in self.nodes for j in n.succs]
+            fh.write(f"Edges (FROM-NODEID TO-NODEID ASCORE)\n")
+            for i, j in links:
+                a = self.link_ascr(self.nodes[i], self.firstci[self.nodes[j].kidx])
+                fh.write(f"{i} {j} {int(a / lb)}\n")
+            fh.write("End\n")
+
+    def write_htk(self, path: str, uttid: str = "utt") -> None:
+        """HTK SLF format (ps_lattice_write_htk)."""
+        links = [(n.id, j) for n in self.nodes for j in n.succs]
+        with open(path, "w") as fh:
+            fh.write("VERSION=1.0\n")
+            fh.write(f"UTTERANCE={uttid}\n")
+            fh.write(f"N={len(self.nodes)}\tL={len(links)}\n")
+            for n in self.nodes:
+                fh.write(f"I={n.id}\tt={n.sf / 100.0:.2f}\tW={n.word}\t"
+                         f"v={n.vit_score:.2f}\n")
+            for k, (i, j) in enumerate(links):
+                a = self.link_ascr(self.nodes[i], self.firstci[self.nodes[j].kidx])
+                fh.write(f"J={k}\tS={i}\tE={j}\ta={a:.2f}\tl=0.0\n")

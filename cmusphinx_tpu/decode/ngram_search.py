@@ -60,6 +60,10 @@ NGRAM_ARGS = [
     Arg("beam", float, 1e-48, "Beam width applied to every frame in Viterbi search"),
     Arg("wbeam", float, 7e-29, "Beam width applied to word exits"),
     Arg("maxwpf", int, 32, "Maximum distinct word exits recorded per frame"),
+    Arg("bestpath", bool, False,
+        "Run lattice trigram rescoring after Viterbi (ps -bestpath)"),
+    Arg("bestpathlw", float, 9.5, "Language weight for bestpath rescoring"),
+    Arg("ascale", float, 20.0, "Inverse acoustic scale for lattice posteriors"),
     Arg("prune", bool, True,
         "Apply beam pruning.  Matches the reference's behavior: the beams act "
         "as a path-stability prior, not just a speed knob — marginal "
@@ -168,7 +172,10 @@ class NgramSearch:
         sel = g.is_entry & g.ent_lc_mask[:, self.sil_ci]
         entc0[sel] = ent0[g.word_of[sel]]
         self._entc0 = jnp.asarray(entc0)
+        self._ent0 = ent0
+        self._fil_pen_np = fp
         self._step_fn = jax.jit(self._make_step())
+        self._last: Optional[tuple] = None
 
     # ------------------------------------------------------------------
     def _make_step(self):
@@ -298,8 +305,11 @@ class NgramSearch:
             (scores, jnp.arange(Tpad, dtype=jnp.int32), valid))
         return tape
 
-    def decode(self, feats: np.ndarray) -> Hypothesis:
-        """feats [T, D] -> best hypothesis."""
+    def decode(self, feats: np.ndarray,
+               bestpath: Optional[bool] = None) -> Hypothesis:
+        """feats [T, D] -> best hypothesis.  With bestpath, the Viterbi
+        result is rescored over the word lattice at -bestpathlw (the
+        reference's third pass, ps_search default pipeline)."""
         T = int(feats.shape[0])
         if T == 0:
             return Hypothesis([], float("-inf"), [])
@@ -309,7 +319,55 @@ class NgramSearch:
         valid = jnp.arange(Tpad) < T
         tape = self.device_decode(jnp.asarray(fpad), valid)
         tw, tsc, tprev, th2, th1, trc = (np.asarray(a) for a in tape)
-        return self._backtrace(tw, tsc, tprev, th2, th1, trc, T)
+        self._last = (tw, tsc, tprev, th2, th1, trc, T)
+        hyp = self._backtrace(tw, tsc, tprev, th2, th1, trc, T)
+        if bestpath is None:
+            bestpath = bool(self.config["bestpath"])
+        if bestpath and hyp.segments:
+            lat = self.get_lattice()
+            h2 = lat.bestpath(lw=float(self.config["bestpathlw"]),
+                              start_lmwid=self.start_lmwid)
+            if h2.segments:
+                hyp = h2
+        return hyp
+
+    # ------------------------------------------------------------------
+    def get_lattice(self):
+        """Word lattice for the most recent utterance (ps_get_lattice)."""
+        from .lattice import LatNode, Lattice
+        if self._last is None:
+            raise RuntimeError("no utterance decoded yet")
+        tw, tsc, tprev, th2, th1, trc, T = self._last
+        g, v, E = self.graph, self.vocab, self.E
+        nodes = []
+        for slot in range(T * E):
+            k = int(tw[slot])
+            if k < 0:
+                continue
+            t, prev = slot // E, int(tprev[slot])
+            sf = prev // E + 1 if prev >= 0 else 0
+            if prev < 0:
+                entry = float(self._ent0[k])
+            else:
+                fc = int(g.firstci[k])
+                base = float(trc[prev][fc])
+                if base <= float(NEG_INF) * 0.5:
+                    base = float(tsc[prev])
+                if v.is_filler[k]:
+                    lmterm = float(self._fil_pen_np[k])
+                else:
+                    lmterm = self.lw * self.lm.tg_score(
+                        int(th1[prev]), int(th2[prev]), int(v.lmwid[k])
+                    ) + self.log_wip
+                entry = base + lmterm
+            nodes.append(LatNode(
+                id=len(nodes), word=v.word_str[k], kidx=k,
+                lmwid=int(v.lmwid[k]), is_filler=bool(v.is_filler[k]),
+                fil_pen=float(self._fil_pen_np[k]), sf=sf, ef=t,
+                vit_score=float(tsc[slot]), rc_score=trc[slot].copy(),
+                entry_score=entry))
+        return Lattice(nodes, g.firstci, g.lastci, self.lm, self.lw,
+                       self.log_wip, self.sil_ci, self.finish_lmwid, T)
 
     # ------------------------------------------------------------------
     def _final_slot(self, tw, tsc, th2, th1, trc, T):

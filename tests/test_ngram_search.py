@@ -92,3 +92,28 @@ def test_ngram_decode_empty(tidigits_search):
     search, _, _ = tidigits_search
     hyp = search.decode(np.zeros((0, 39), np.float32))
     assert hyp.words == []
+
+
+def test_lattice_results_layer(tidigits_search, tmp_path):
+    """Lattice bestpath/N-best/posterior/write (ps_lattice capability)."""
+    search, fp, R = tidigits_search
+    cep = read_mfc(str(R / "test/data/tidigits/man.ah.2934za.mfc"))
+    feats = np.asarray(fp.compute(cep))
+    hyp = search.decode(feats, bestpath=True)
+    assert hyp.text == "TWO NINE THREE FOUR ZERO"
+    lat = search.get_lattice()
+    assert len(lat.nodes) > 5
+    # N-best: the top hypothesis agrees with bestpath.
+    nb = lat.nbest(5, start_lmwid=search.start_lmwid)
+    assert nb and nb[0].text == hyp.text
+    assert len({h.text for h in nb}) == len(nb)  # distinct
+    # Scores are non-increasing.
+    assert all(a.score >= b.score - 1e-3 for a, b in zip(nb, nb[1:]))
+    # Posteriors are probabilities.
+    post = np.exp(lat.posterior())
+    assert np.isfinite(post).all() and (post <= 1.0 + 1e-6).all()
+    # Lattice file formats.
+    lat.write(str(tmp_path / "lat.lat"))
+    lat.write_htk(str(tmp_path / "lat.slf"))
+    assert (tmp_path / "lat.lat").read_text().startswith("# getcwd")
+    assert "VERSION=1.0" in (tmp_path / "lat.slf").read_text()
