@@ -68,17 +68,16 @@ def main():
         read_mfc(R + f"/test/data/tidigits/{u}.mfc"))) for u in ctl}
     audio_s = sum(len(f) for f in feats.values()) * 0.01
 
-    # Warm-up pass: triggers compilation for every frame-bucket size and
-    # checks correctness against the committed golden transcripts.
-    n_ok = 0
-    for u in ctl:
-        n_ok += search.decode(feats[u]).text == lsn[u]
+    # Warm-up pass (compiles the batched program) + correctness check
+    # against the committed golden transcripts.
+    batch = [feats[u] for u in ctl]
+    hyps = search.decode_batch(batch)
+    n_ok = sum(h.text == lsn[u] for h, u in zip(hyps, ctl))
     assert n_ok == len(ctl), f"accuracy regression: {n_ok}/{len(ctl)}"
 
-    # Timed steady-state pass.
+    # Timed steady-state pass (one batched device call + host backtraces).
     t0 = time.time()
-    for u in ctl:
-        search.decode(feats[u])
+    search.decode_batch(batch)
     dt = time.time() - t0
     xrt = audio_s / dt
 

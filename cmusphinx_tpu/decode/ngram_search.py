@@ -331,6 +331,47 @@ class NgramSearch:
                 hyp = h2
         return hyp
 
+    def decode_batch(self, feats_list, bestpath: Optional[bool] = None
+                     ) -> List[Hypothesis]:
+        """Batched decode: all utterances padded to one bucket and run as a
+        single vmapped device program — utterance-level data parallelism
+        (SURVEY.md §2.10 P1), amortizing device latency and filling the
+        chip.  Returns one Hypothesis per utterance."""
+        if not feats_list:
+            return []
+        D = int(feats_list[0].shape[1])
+        Ts = [int(f.shape[0]) for f in feats_list]
+        if not hasattr(self, "_batch_fn"):
+            self._batch_fn = jax.jit(jax.vmap(self.device_decode))
+        # Group utterances into frame buckets to bound padding waste; one
+        # batched device call per group.
+        groups: dict = {}
+        for i, T in enumerate(Ts):
+            Tpad = -(-max(T, 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
+            groups.setdefault(Tpad, []).append(i)
+        out: List[Optional[Hypothesis]] = [None] * len(feats_list)
+        bp = bool(self.config["bestpath"]) if bestpath is None else bestpath
+        for Tpad, idxs in groups.items():
+            fpad = np.zeros((len(idxs), Tpad, D), np.float32)
+            for r, i in enumerate(idxs):
+                fpad[r, : Ts[i]] = feats_list[i]
+            valid = np.arange(Tpad)[None, :] < np.asarray(
+                [Ts[i] for i in idxs])[:, None]
+            tapes = jax.device_get(self._batch_fn(jnp.asarray(fpad),
+                                                  jnp.asarray(valid)))
+            for r, i in enumerate(idxs):
+                tw, tsc, tprev, th2, th1, trc = (np.asarray(a[r]) for a in tapes)
+                self._last = (tw, tsc, tprev, th2, th1, trc, Ts[i])
+                hyp = self._backtrace(tw, tsc, tprev, th2, th1, trc, Ts[i])
+                if bp and hyp.segments:
+                    h2 = self.get_lattice().bestpath(
+                        lw=float(self.config["bestpathlw"]),
+                        start_lmwid=self.start_lmwid)
+                    if h2.segments:
+                        hyp = h2
+                out[i] = hyp
+        return out
+
     # ------------------------------------------------------------------
     def get_lattice(self):
         """Word lattice for the most recent utterance (ps_get_lattice)."""

@@ -46,7 +46,7 @@ def main():
     from cmusphinx_tpu.models.dict import Dictionary
     from cmusphinx_tpu.models.fsg import FsgModel
     from cmusphinx_tpu.models.gauden import read_gauden
-    from cmusphinx_tpu.ops.gmm import SemiContinuousScorer
+    from cmusphinx_tpu.ops.gmm import PsParityScorer
     from cmusphinx_tpu.utils.bio import read_mfc
     from cmusphinx_tpu.utils.config import Config
 
@@ -54,16 +54,16 @@ def main():
     H = R + "/model/hmm/en/tidigits"
     mdef = Mdef.read(H + "/mdef")
     g = read_gauden(H + "/means", H + "/variances")
-    w = read_sendump(H + "/sendump")
+    w, meta = read_sendump(H + "/sendump", return_raw=True)
     tmat = TransitionMatrices.read(H + "/transition_matrices")
     d = Dictionary.read(R + "/model/lm/en/tidigits.dic", mdef)
     cfg = Config(FE_ARGS, FEAT_ARGS)
     cfg.update_from_file(H + "/feat.params")
     fp = FeatPipeline(cfg)
-    scorer = SemiContinuousScorer(g, w, fp.stream_slices())
+    scorer = PsParityScorer(g, w, fp.stream_slices(), wrap_uint8=meta["n_bits"] == 4)
     fsg = FsgModel.read(R + "/model/lm/en/tidigits.fsg")
     search = FsgSearch(fsg, d, mdef, tmat, scorer)
-    print(f"graph: {search.graph.n_chan} channels, {search.graph.n_chain} chains",
+    print(f"graph: {search.graph.n_chan} channels, {search.n_link} links",
           flush=True)
 
     lsn = {}
