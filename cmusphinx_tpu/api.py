@@ -1,0 +1,250 @@
+"""Top-level decoder API.
+
+Capability parity with the pocketsphinx decoder API (reference:
+pocketsphinx/src/libpocketsphinx/pocketsphinx.c — ps_init:296 builds
+logmath -> acmod -> dict -> search from config with model-dir defaults and
+feat.params layering :98-156; utterance loop ps_start_utt:615 /
+ps_process_raw:743 / ps_end_utt:805; ps_get_hyp, ps_seg iterators,
+ps_nbest, ps_get_lattice, ps_get_prob, ps_add_word, ps_decode_raw) and the
+sphinx3 live-decode API (s3_decode.c).
+
+    d = Decoder(hmm=".../en_US/hub4wsj_sc_8k", lm=".../turtle.DMP",
+                dict=".../turtle.dic")
+    d.start_utt()
+    d.process_raw(samples)         # any number of chunks
+    d.end_utt()
+    print(d.hyp().text)
+
+The acoustic scorer is chosen from the model directory contents the way
+acmod_init_am does (acmod.c:78): `sendump` -> semi-continuous (bit-faithful
+PsParityScorer by default — reproduces the reference's WER behavior on its
+shipped models; set parity=False for the exact float path), per-senone
+codebooks -> continuous, per-CI-phone codebooks -> PTM.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from .decode.fsg_search import FsgSearch, Hypothesis, Segment
+from .decode.ngram_search import NGRAM_ARGS, NgramSearch
+from .frontend.fe import FE_ARGS, Frontend
+from .frontend.feat import FEAT_ARGS, FeatPipeline
+from .models.dict import Dictionary
+from .models.fsg import FsgModel
+from .models.gauden import read_gauden
+from .models.jsgf import JsgfGrammar
+from .models.mdef import Mdef
+from .models.ngram import NgramModel
+from .models.sendump import read_mixture_weights, read_sendump
+from .models.tmat import TransitionMatrices
+from .ops.gmm import (ContinuousScorer, PsParityScorer, PTMScorer,
+                      SemiContinuousScorer)
+from .utils.config import Arg, Config
+
+DECODER_ARGS = [
+    Arg("hmm", str, "", "Directory containing acoustic model files"),
+    Arg("mdef", str, "", "Model definition input file"),
+    Arg("mean", str, "", "Mixture gaussian means input file"),
+    Arg("var", str, "", "Mixture gaussian variances input file"),
+    Arg("tmat", str, "", "HMM state transition matrix input file"),
+    Arg("mixw", str, "", "Senone mixture weights input file"),
+    Arg("sendump", str, "", "Senone dump (compressed mixture weights) input file"),
+    Arg("featparams", str, "", "File containing feature extraction parameters"),
+    Arg("dict", str, "", "Main pronunciation dictionary input file"),
+    Arg("fdict", str, "", "Noise word pronunciation dictionary input file"),
+    Arg("lm", str, "", "Word trigram language model input file"),
+    Arg("fsg", str, "", "Sphinx format finite state grammar file"),
+    Arg("jsgf", str, "", "JSGF grammar file"),
+    Arg("toprule", str, "", "Start rule for JSGF (first public rule is default)"),
+    Arg("varfloor", float, 0.0001, "Mixture gaussian variance floor"),
+    Arg("parity", bool, True,
+        "Use the bit-faithful reference senone scorer for sendump models"),
+    Arg("topn", int, 4, "Number of top Gaussians to use in scoring"),
+    Arg("samprate", float, 16000.0, "Sampling rate"),
+]
+
+
+class Decoder:
+    """Speech decoder over one acoustic model + one search module."""
+
+    def __init__(self, config: Optional[Config] = None, **kwargs):
+        cfg = (config.copy() if config else
+               Config(DECODER_ARGS, FE_ARGS, FEAT_ARGS, NGRAM_ARGS))
+        cfg.register(DECODER_ARGS).register(FE_ARGS).register(FEAT_ARGS)
+        cfg.register(NGRAM_ARGS)
+        from .decode.fsg_search import FSG_ARGS
+        cfg.register(FSG_ARGS)
+        cfg.update(**kwargs)
+        self.config = cfg
+        hmm = str(cfg["hmm"])
+
+        def model_file(key: str, name: str) -> str:
+            v = str(cfg[key])
+            if v:
+                return v
+            p = os.path.join(hmm, name)
+            return p if hmm and os.path.exists(p) else ""
+
+        # feat.params layering (ps_init_defaults pocketsphinx.c:98-156).
+        fparams = model_file("featparams", "feat.params")
+        if fparams:
+            cfg.update_from_file(fparams)
+            cfg.update(**kwargs)  # explicit args win over feat.params
+
+        mdef_path = model_file("mdef", "mdef")
+        if not mdef_path:
+            raise ValueError("must specify -hmm or -mdef")
+        self.mdef = Mdef.read(mdef_path)
+        self.tmat = TransitionMatrices.read(model_file("tmat",
+                                                       "transition_matrices"))
+        gauden = read_gauden(model_file("mean", "means"),
+                             model_file("var", "variances"),
+                             varfloor=float(cfg["varfloor"]))
+
+        self.fe = Frontend(cfg)
+        self.fp = FeatPipeline(cfg)
+        self.scorer = self._init_scorer(cfg, gauden, model_file)
+
+        fdict = model_file("fdict", "noisedict")
+        self.dict = Dictionary.read(str(cfg["dict"]) or None, self.mdef,
+                                    filler_path=fdict or None)
+
+        # Search module (ps_reinit search selection :257-280).
+        self.search = None
+        if str(cfg["fsg"]):
+            fsg = FsgModel.read(str(cfg["fsg"]))
+            self.search = FsgSearch(fsg, self.dict, self.mdef, self.tmat,
+                                    self.scorer, config=cfg)
+        elif str(cfg["jsgf"]):
+            gram = JsgfGrammar.parse_file(str(cfg["jsgf"]))
+            fsg = gram.build_fsg(str(cfg["toprule"]) or None)
+            self.search = FsgSearch(fsg, self.dict, self.mdef, self.tmat,
+                                    self.scorer, config=cfg)
+        elif str(cfg["lm"]):
+            lm = NgramModel.read(str(cfg["lm"]))
+            self.search = NgramSearch(lm, self.dict, self.mdef, self.tmat,
+                                      self.scorer, config=cfg)
+
+        self._raw_chunks: List[np.ndarray] = []
+        self._hyp: Optional[Hypothesis] = None
+        self._in_utt = False
+
+    # ------------------------------------------------------------------
+    def _init_scorer(self, cfg, gauden, model_file):
+        sendump = model_file("sendump", "sendump")
+        mixw_path = model_file("mixw", "mixture_weights")
+        slices = self.fp.stream_slices()
+        if sendump:
+            if bool(cfg["parity"]):
+                raw, meta = read_sendump(sendump, return_raw=True)
+                return PsParityScorer(gauden, raw, slices,
+                                      topn=int(cfg["topn"]),
+                                      wrap_uint8=meta["n_bits"] == 4)
+            lnw = read_sendump(sendump)
+            return SemiContinuousScorer(gauden, lnw, slices,
+                                        topn=int(cfg["topn"]))
+        if not mixw_path:
+            raise ValueError("model has neither sendump nor mixture_weights")
+        lnw = read_mixture_weights(mixw_path)
+        if gauden.n_mgau == 1:
+            return SemiContinuousScorer(gauden, lnw, slices,
+                                        topn=int(cfg["topn"]))
+        if gauden.n_feat == 1 and gauden.n_mgau == lnw.shape[-1]:
+            # One codebook per senone: continuous.
+            return ContinuousScorer(gauden, lnw[0].T)
+        if gauden.n_mgau == self.mdef.n_ciphone:
+            sen2cb = np.asarray(self.mdef.sen2cimap, np.int32)
+            return PTMScorer(gauden, lnw[0].T, sen2cb)
+        raise ValueError(
+            f"cannot infer scorer type: n_mgau={gauden.n_mgau}, "
+            f"n_feat={gauden.n_feat}, n_sen={lnw.shape[-1]}")
+
+    # ------------------------------------------------------------------
+    # Utterance API (ps_start_utt / ps_process_raw / ps_end_utt).
+    def start_utt(self) -> None:
+        if self._in_utt:
+            raise RuntimeError("utterance already started")
+        self._raw_chunks = []
+        self._hyp = None
+        self._in_utt = True
+
+    def process_raw(self, data: np.ndarray) -> None:
+        if not self._in_utt:
+            raise RuntimeError("call start_utt first")
+        self._raw_chunks.append(np.asarray(data, np.float32).ravel())
+
+    def process_cep(self, cep: np.ndarray) -> None:
+        if not self._in_utt:
+            raise RuntimeError("call start_utt first")
+        self._raw_chunks.append(("cep", np.asarray(cep, np.float32)))
+
+    def end_utt(self) -> Hypothesis:
+        if not self._in_utt:
+            raise RuntimeError("no utterance in progress")
+        self._in_utt = False
+        ceps = []
+        raws = [c for c in self._raw_chunks if not isinstance(c, tuple)]
+        if raws:
+            samples = np.concatenate(raws) if len(raws) > 1 else raws[0]
+            ceps.append(np.asarray(self.fe.process(samples)))
+        ceps.extend(c[1] for c in self._raw_chunks if isinstance(c, tuple))
+        if not ceps:
+            self._hyp = Hypothesis([], float("-inf"), [])
+            return self._hyp
+        cep = np.concatenate(ceps) if len(ceps) > 1 else ceps[0]
+        feats = np.asarray(self.fp.compute(cep))
+        self._hyp = self.search.decode(feats)
+        return self._hyp
+
+    # ------------------------------------------------------------------
+    def decode_raw(self, path: str) -> Hypothesis:
+        """Decode a whole headerless 16-bit PCM file (ps_decode_raw)."""
+        data = np.frombuffer(open(path, "rb").read(), np.int16)
+        self.start_utt()
+        self.process_raw(data.astype(np.float32))
+        return self.end_utt()
+
+    def decode_cep_file(self, path: str) -> Hypothesis:
+        from .utils.bio import read_mfc
+        self.start_utt()
+        self.process_cep(read_mfc(path))
+        return self.end_utt()
+
+    # Results (ps_get_hyp / ps_seg / ps_nbest / ps_get_lattice / ps_get_prob).
+    def hyp(self) -> Optional[Hypothesis]:
+        return self._hyp
+
+    def seg(self) -> List[Segment]:
+        return self._hyp.segments if self._hyp else []
+
+    def nbest(self, n: int = 10) -> List[Hypothesis]:
+        lat = self.get_lattice()
+        return lat.nbest(n, start_lmwid=self.search.start_lmwid)
+
+    def get_lattice(self):
+        return self.search.get_lattice()
+
+    def get_prob(self) -> float:
+        """Posterior probability of the best hypothesis (ps_get_prob)."""
+        lat = self.search.get_lattice()
+        post = lat.posterior(ascale=1.0 / float(self.config["ascale"]))
+        best = self._hyp
+        if not best or not best.segments:
+            return 0.0
+        p = 0.0
+        for seg in best.segments:
+            for n in lat.nodes:
+                if (n.word == seg.word and n.sf == seg.start_frame
+                        and n.ef == seg.end_frame):
+                    p += float(post[n.id])
+                    break
+        return float(np.exp(p / max(len(best.segments), 1)))
+
+    def add_word(self, word: str, phones: List[str]) -> int:
+        """Runtime word addition (ps_add_word).  Takes effect at the next
+        search (re)initialization."""
+        return self.dict.add_word(word, phones)

@@ -25,8 +25,12 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-NEG_INF = jnp.float32(-1.0e30)
+# Plain numpy scalar: a module-level jnp constant would initialize the JAX
+# backend at import time (blocking on the TPU tunnel before the program can
+# choose a platform).
+NEG_INF = np.float32(-1.0e30)
 
 
 def hmm_init_state(n: int, n_state: int, n_payload: int = 1):
