@@ -248,3 +248,18 @@ class Decoder:
         """Runtime word addition (ps_add_word).  Takes effect at the next
         search (re)initialization."""
         return self.dict.add_word(word, phones)
+
+    # ------------------------------------------------------------------
+    def align(self, feats_or_raw: np.ndarray, words: List[str],
+              raw: bool = False):
+        """Forced alignment (state_align / sphinx3_align capability):
+        returns (word segments, phone segments, state ids, score)."""
+        from .decode.align import AlignSearch
+        if raw:
+            cep = np.asarray(self.fe.process(
+                np.asarray(feats_or_raw, np.float32)))
+            feats = np.asarray(self.fp.compute(cep))
+        else:
+            feats = np.asarray(feats_or_raw)
+        return AlignSearch(self.dict, self.mdef, self.tmat,
+                           self.scorer).align(feats, words)

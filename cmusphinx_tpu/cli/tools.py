@@ -1,0 +1,95 @@
+"""Frontend / grammar / inspection CLI tools.
+
+Subcommands mirror the sphinxbase utilities (reference:
+sphinxbase/src/sphinx_fe batch wave->cep, sphinx_cepview, sphinx_jsgf2fsg,
+sphinx_pitch):
+
+    python -m cmusphinx_tpu.cli.tools fe -i in.raw -o out.mfc [-samprate N] ...
+    python -m cmusphinx_tpu.cli.tools fe -c ctl -di rawdir -do cepdir \
+        -ei raw -eo mfc
+    python -m cmusphinx_tpu.cli.tools cepview -f file.mfc [-d 13]
+    python -m cmusphinx_tpu.cli.tools jsgf2fsg -jsgf g.gram -fsg out.fsg \
+        [-toprule name]
+    python -m cmusphinx_tpu.cli.tools pitch -i in.raw -o out.f0
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+from ..frontend.fe import FE_ARGS, Frontend
+from ..frontend.pitch import yin_pitch
+from ..models.jsgf import JsgfGrammar
+from ..utils.bio import read_mfc, read_raw_audio, write_mfc
+from ..utils.config import Config
+from .batch import parse_argv
+
+
+def _fe_one(fe: Frontend, inpath: str, outpath: str) -> int:
+    raw = read_raw_audio(inpath)
+    cep = np.asarray(fe.process(raw))
+    write_mfc(outpath, cep)
+    return len(cep)
+
+
+def main(argv=None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if not argv:
+        print(__doc__)
+        return 1
+    cmd, kv = argv[0], parse_argv(argv[1:])
+    if kv.pop("platform", None) == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    if cmd == "fe":
+        cfg = Config(FE_ARGS)
+        cfg.update(**{k: v for k, v in kv.items() if k in cfg})
+        fe = Frontend(cfg)
+        if "c" in kv:  # control-file batch (sphinx_fe -c)
+            n = 0
+            for line in open(kv["c"]):
+                utt = line.strip()
+                if not utt:
+                    continue
+                src = os.path.join(kv.get("di", ""), utt + "." + kv.get("ei", "raw"))
+                dst = os.path.join(kv.get("do", ""), utt + "." + kv.get("eo", "mfc"))
+                os.makedirs(os.path.dirname(dst) or ".", exist_ok=True)
+                nf = _fe_one(fe, src, dst)
+                print(f"{utt}: {nf} frames")
+                n += 1
+            print(f"processed {n} files")
+        else:
+            nf = _fe_one(fe, kv["i"], kv["o"])
+            print(f"{kv['i']} -> {kv['o']}: {nf} frames")
+    elif cmd == "cepview":
+        ncep = int(kv.get("d", 13))
+        cep = read_mfc(kv["f"], ncep=ncep)
+        for t, row in enumerate(cep):
+            print(f"{t:5d} " + " ".join(f"{v:8.3f}" for v in row))
+    elif cmd == "jsgf2fsg":
+        gram = JsgfGrammar.parse_file(kv["jsgf"])
+        fsg = gram.build_fsg(kv.get("toprule"))
+        with open(kv["fsg"], "w") as fh:
+            fsg.write(fh)
+        print(f"{kv['jsgf']} -> {kv['fsg']}: {fsg.n_state} states, "
+              f"{len(fsg.links)} transitions")
+    elif cmd == "pitch":
+        raw = read_raw_audio(kv["i"])
+        f0 = yin_pitch(raw, sample_rate=float(kv.get("samprate", 16000)))
+        with open(kv["o"], "w") as fh:
+            for t, v in enumerate(f0):
+                fh.write(f"{t * 0.01:.2f} {v:.1f}\n")
+        voiced = (f0 > 0).mean() if len(f0) else 0
+        print(f"{kv['i']} -> {kv['o']}: {len(f0)} frames, "
+              f"{100 * voiced:.0f}% voiced")
+    else:
+        print(__doc__)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
