@@ -122,3 +122,46 @@ def test_viterbi_align():
     assert a_frames.any()
     assert tr.batch.feats[b, :T][a_frames].mean() > 1.0
     assert tr.batch.feats[b, :T][phones == model.phone_id["B"]].mean() < -1.0
+
+
+def test_cd_pipeline_and_export(tmp_path):
+    """CI -> CD-untied -> tie -> split pipeline improves likelihood and the
+    exported triphone model round-trips through the decoder stack."""
+    from cmusphinx_tpu.train.pipeline import (TriphoneInventory,
+                                              export_cd_model,
+                                              split_gaussians,
+                                              train_full_pipeline)
+    model, feats, trans = _toy_corpus(n_utt=8)
+    inv, smap, tied, hist = train_full_pipeline(
+        model, PRON, trans, feats, gauss=2, ci_iters=5, cd_iters=4,
+        tied_iters=4)
+    assert inv.n_tri > 0
+    assert hist["cd_untied"][-1] >= hist["ci"][-1] - 0.1
+    assert hist["split_2"][-1] >= hist["tied"][-1] - 0.1
+    # smap maps every untied senone onto a kept senone id.
+    assert smap.max() < tied.means.shape[0]
+    export_cd_model(str(tmp_path), inv, smap, tied, feat="4")
+    from cmusphinx_tpu.models import Mdef, TransitionMatrices
+    from cmusphinx_tpu.models.gauden import read_gauden
+    mdef = Mdef.read(str(tmp_path / "mdef"))
+    assert mdef.n_phone == len(model.phones) + inv.n_tri
+    assert mdef.n_sen == tied.means.shape[0]
+    # Triphone lookup through the exported mdef works.
+    a, b = model.phone_id["A"], model.phone_id["B"]
+    pid = mdef.phone_id(a, model.phone_id["SIL"], b, 1)  # A(SIL,B) begin
+    assert pid >= mdef.n_ciphone
+    g = read_gauden(str(tmp_path / "means"), str(tmp_path / "variances"))
+    assert g.n_mgau == tied.means.shape[0]
+    tm = TransitionMatrices.read(str(tmp_path / "transition_matrices"))
+    assert tm.check_bakis()
+
+
+def test_split_gaussians():
+    from cmusphinx_tpu.train.pipeline import split_gaussians
+    model, feats, trans = _toy_corpus()
+    tr = Trainer(model, PRON, trans, feats, K=1)
+    ll1 = [tr.em_step() for _ in range(3)][-1]
+    tr.params = split_gaussians(tr.params)
+    assert tr.params.means.shape[1] == 2
+    ll2 = [tr.em_step() for _ in range(3)][-1]
+    assert ll2 >= ll1 - 0.05
