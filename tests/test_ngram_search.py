@@ -117,3 +117,36 @@ def test_lattice_results_layer(tidigits_search, tmp_path):
     lat.write_htk(str(tmp_path / "lat.slf"))
     assert (tmp_path / "lat.lat").read_text().startswith("# getcwd")
     assert "VERSION=1.0" in (tmp_path / "lat.slf").read_text()
+
+
+def test_continuous_model_vs_sphinx3_golden(reference_root):
+    """Continuous-density (sphinx3-style) model through the FSG decoder
+    reproduces the committed sphinx3 golden on all 31 tidigits utterances
+    (tidigits.length.arb.result)."""
+    import glob, os
+    from cmusphinx_tpu.decode import FsgSearch
+    from cmusphinx_tpu.models.fsg import FsgModel
+    from cmusphinx_tpu.models.sendump import read_mixture_weights
+    from cmusphinx_tpu.ops.gmm import ContinuousScorer
+    R = str(reference_root / "sphinx3/model/hmm/tidigits")
+    H = R + "/wd_dependent_phone.cd_continuous_8gau"
+    mdef = Mdef.read(H + "/mdef")
+    g = read_gauden(H + "/means", H + "/variances")
+    lnw = read_mixture_weights(H + "/mixture_weights")
+    tmat = TransitionMatrices.read(H + "/transition_matrices")
+    d = Dictionary.read(R + "/dictionary", mdef, filler_path=R + "/fillerdict")
+    scorer = ContinuousScorer(g, lnw[0].T)
+    fsg = FsgModel.read(R + "/test.digits.fsg")
+    fp = FeatPipeline(Config(FE_ARGS, FEAT_ARGS), feat="1s_c_d_dd")
+    s = FsgSearch(fsg, d, mdef, tmat, scorer, lw=9.5, wip=1e-14)
+    golden = {}
+    for line in open(R + "/tidigits.length.arb.result"):
+        p = line.rsplit("(", 1)
+        golden[p[1].strip(") \n")] = p[0].strip().lower()
+    # A fast representative subset (the full 31 run in evals).
+    for utt in ("man.ah.111a", "man.ah.6o838a", "woman.ak.o69a",
+                "woman.ak.ooa"):
+        sub = "man" if utt.startswith("man") else "woman"
+        feats = np.asarray(fp.compute(read_mfc(
+            f"{R}/cepstra/{sub}/{utt}.mfc")))
+        assert s.decode(feats).text.lower() == golden[utt], utt
