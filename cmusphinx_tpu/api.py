@@ -61,6 +61,7 @@ DECODER_ARGS = [
     Arg("jsgf", str, "", "JSGF grammar file"),
     Arg("toprule", str, "", "Start rule for JSGF (first public rule is default)"),
     Arg("varfloor", float, 0.0001, "Mixture gaussian variance floor"),
+    Arg("mllr", str, "", "MLLR transform to apply to acoustic model means"),
     Arg("parity", bool, True,
         "Use the bit-faithful reference senone scorer for sendump models"),
     Arg("topn", int, 4, "Number of top Gaussians to use in scoring"),
@@ -104,6 +105,11 @@ class Decoder:
         gauden = read_gauden(model_file("mean", "means"),
                              model_file("var", "variances"),
                              varfloor=float(cfg["varfloor"]))
+
+        if str(cfg["mllr"]):
+            # ps_mllr / acmod_update_mllr capability: adapt means on load.
+            from .models.mllr import MllrTransform
+            MllrTransform.read(str(cfg["mllr"])).apply(gauden)
 
         self.fe = Frontend(cfg)
         self.fp = FeatPipeline(cfg)
