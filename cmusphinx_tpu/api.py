@@ -57,6 +57,8 @@ DECODER_ARGS = [
     Arg("dict", str, "", "Main pronunciation dictionary input file"),
     Arg("fdict", str, "", "Noise word pronunciation dictionary input file"),
     Arg("lm", str, "", "Word trigram language model input file"),
+    Arg("lmctl", str, "", "Specify a set of language models"),
+    Arg("lmname", str, "", "Which language model in -lmctl to use initially"),
     Arg("fsg", str, "", "Sphinx format finite state grammar file"),
     Arg("jsgf", str, "", "JSGF grammar file"),
     Arg("toprule", str, "", "Start rule for JSGF (first public rule is default)"),
@@ -130,6 +132,13 @@ class Decoder:
             fsg = gram.build_fsg(str(cfg["toprule"]) or None)
             self.search = FsgSearch(fsg, self.dict, self.mdef, self.tmat,
                                     self.scorer, config=cfg)
+        elif str(cfg["lmctl"]):
+            from .models.lmset import NgramModelSet
+            self.lmset = NgramModelSet.read_lmctl(str(cfg["lmctl"]))
+            if str(cfg["lmname"]):
+                self.lmset.select(str(cfg["lmname"]))
+            self.search = NgramSearch(self.lmset.lm(), self.dict, self.mdef,
+                                      self.tmat, self.scorer, config=cfg)
         elif str(cfg["lm"]):
             lm = NgramModel.read(str(cfg["lm"]))
             self.search = NgramSearch(lm, self.dict, self.mdef, self.tmat,
@@ -254,6 +263,13 @@ class Decoder:
         """Runtime word addition (ps_add_word).  Takes effect at the next
         search (re)initialization."""
         return self.dict.add_word(word, phones)
+
+    def set_lm(self, name: str) -> None:
+        """Switch to a named LM from -lmctl (ps_set_search / ngram_model_set
+        select capability); rebuilds the search module."""
+        lm = self.lmset.select(name)
+        self.search = NgramSearch(lm, self.dict, self.mdef, self.tmat,
+                                  self.scorer, config=self.config)
 
     # ------------------------------------------------------------------
     def align(self, feats_or_raw: np.ndarray, words: List[str],

@@ -320,6 +320,60 @@ class Lattice:
         return out
 
     # ------------------------------------------------------------------
+    def sausage(self, ascale: float = 0.05):
+        """Confusion network (sausage): posterior-weighted word slots in
+        time order (sphinx4 result/SausageMaker.java + CLP lattice
+        clustering capability, Mangu-style simplified).
+
+        Returns a list of slots; each slot is a list of (word, prob) with
+        probs summing to <= 1 (the remainder is the deletion/epsilon mass).
+        Filler instances contribute to the epsilon mass.
+        """
+        post = np.exp(np.minimum(self.posterior(ascale), 0.0))
+        # Cluster word instances by time overlap (greedy, time-ordered).
+        order = sorted(range(len(self.nodes)),
+                       key=lambda i: (self.nodes[i].sf, self.nodes[i].ef))
+        slots: List[dict] = []
+        spans: List[List[float]] = []
+        for i in order:
+            n = self.nodes[i]
+            if n.is_filler:
+                continue
+            mid = 0.5 * (n.sf + n.ef)
+            placed = False
+            for k, (s0, s1) in enumerate(spans):
+                if s0 <= mid <= s1:
+                    # Same-word instances merge; different words compete.
+                    slots[k][n.word] = slots[k].get(n.word, 0.0) + post[i]
+                    spans[k][0] = min(s0, n.sf)
+                    spans[k][1] = max(s1, n.ef)
+                    placed = True
+                    break
+            if not placed:
+                slots.append({n.word: float(post[i])})
+                spans.append([float(n.sf), float(n.ef)])
+        out = []
+        for k in np.argsort([s[0] for s in spans]) if spans else []:
+            total = sum(slots[k].values())
+            norm = max(total, 1.0)
+            out.append(sorted(((w, p / norm) for w, p in slots[k].items()),
+                              key=lambda x: -x[1]))
+        return out
+
+    def consensus_hyp(self, ascale: float = 0.05,
+                      eps_threshold: float = 0.5) -> Hypothesis:
+        """Consensus decoding: best word per sausage slot, slots whose total
+        mass is below eps_threshold are deleted."""
+        words = []
+        for slot in self.sausage(ascale):
+            if not slot:
+                continue
+            w, p = slot[0]
+            if sum(q for _, q in slot) >= eps_threshold:
+                words.append(w)
+        return Hypothesis(words, 0.0, [])
+
+    # ------------------------------------------------------------------
     def write(self, path: str, uttid: str = "utt") -> None:
         """Sphinx lattice text format (ps_lattice.c:232-370)."""
         lb = math.log(self.logbase)
