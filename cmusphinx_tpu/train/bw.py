@@ -156,11 +156,16 @@ def _dense_trans(batch_row, log_tp, Smax):
     return M
 
 
-def forward_backward(batch: UttBatch, means, prec, lnw, log_tp):
+def forward_backward(batch: UttBatch, means, prec, lnw, log_tp,
+                     weights=None):
     """One EM pass over a padded utterance batch.
 
     Returns (total log-likelihood [B], accumulators dict).
     Pure function of (batch, params) — jit/vmap/psum-friendly.
+
+    `weights` [B] optionally scales each utterance's contribution to the
+    accumulators (used for lattice-posterior-weighted MMIE denominator
+    statistics, SphinxTrain bw -mmie capability).
     """
     B, Tmax, D = batch.feats.shape
     Smax = batch.state_sen.shape[1]
@@ -252,6 +257,12 @@ def forward_backward(batch: UttBatch, means, prec, lnw, log_tp):
         tuple(jnp.asarray(a) for a in erows),
         tuple(jnp.asarray(a) for a in frows),
         jnp.asarray(batch.state_phone))
+    if weights is not None:
+        w = jnp.asarray(weights, jnp.float32)
+        mixw = mixw * w[:, None, None]
+        mean = mean * w[:, None, None, None]
+        var = var * w[:, None, None, None]
+        tacc = tacc * w[:, None, None, None]
     acc = {"mixw": mixw.sum(0), "mean": mean.sum(0), "var": var.sum(0),
            "tmat": tacc.sum(0), "n_frames": jnp.sum(batch.T)}
     return llh, acc
