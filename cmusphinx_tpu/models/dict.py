@@ -34,6 +34,7 @@ class Dictionary:
         self._index: Dict[str, int] = {}
         self.filler_start = 0
         self.filler_end = -1
+        self.lts = None                     # optional LtsModel OOV fallback
 
     # ------------------------------------------------------------------
     def _key(self, w: str) -> str:
@@ -41,6 +42,24 @@ class Dictionary:
 
     def wordid(self, w: str) -> int:
         return self._index.get(self._key(w), -1)
+
+    def set_lts(self, lts) -> None:
+        """Attach a letter-to-sound model used as OOV fallback
+        (sphinx3 libdict/lts.c dict fallback capability)."""
+        self.lts = lts
+
+    def wordid_or_lts(self, w: str) -> int:
+        """Dictionary lookup with LTS fallback: an OOV word whose LTS
+        pronunciation resolves to known phones is added on the fly."""
+        wid = self.wordid(w)
+        if wid >= 0 or self.lts is None:
+            return wid
+        phones = self.lts.predict(w)
+        if not phones or self.mdef is None:
+            return -1
+        if not all(p in self.mdef.ciphone_id for p in phones):
+            return -1
+        return self.add_word(w, phones)
 
     def basewordid(self, w: str) -> int:
         wid = self.wordid(w)
