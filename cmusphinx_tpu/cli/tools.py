@@ -85,6 +85,42 @@ def main(argv=None) -> int:
         voiced = (f0 > 0).mean() if len(f0) else 0
         print(f"{kv['i']} -> {kv['o']}: {len(f0)} frames, "
               f"{100 * voiced:.0f}% voiced")
+    elif cmd == "lm_convert":
+        # sphinx_lm_convert capability: ARPA <-> DMP by extension/-ofmt.
+        from ..models.ngram import NgramModel
+        lm = NgramModel.read(kv["i"])
+        ofmt = kv.get("ofmt") or ("dmp" if kv["o"].lower().endswith(
+            (".dmp",)) else "arpa")
+        if ofmt == "dmp":
+            lm.write_dmp(kv["o"])
+        else:
+            lm.write_arpa(kv["o"])
+        print(f"{kv['i']} -> {kv['o']} ({ofmt}); counts={lm.counts()}")
+    elif cmd == "lm_eval":
+        # sphinx_lm_eval capability: perplexity over a transcript file.
+        from ..models.ngram import NgramModel
+        lm = NgramModel.read(kv["lm"])
+        sents = []
+        for line in open(kv["text"]):
+            ws = [w for w in line.split() if w not in ("<s>", "</s>")]
+            if ws:
+                sents.append(ws)
+        ppl, nw, oov = lm.perplexity(sents)
+        print(f"perplexity {ppl:.4f} over {len(sents)} sentences "
+              f"({nw} words, {oov} OOV)")
+    elif cmd == "lm2fst":
+        # lm_attfsm / sphinx_lm_fst capability.
+        from ..models.fst import write_lm_fst
+        from ..models.ngram import NgramModel
+        lm = NgramModel.read(kv["i"])
+        write_lm_fst(lm, kv["o"], symfile=kv.get("syms"))
+        print(f"{kv['i']} -> {kv['o']} (ATT FSM)")
+    elif cmd == "fsg2fst":
+        from ..models.fsg import FsgModel
+        from ..models.fst import write_fsg_fst
+        fsg = FsgModel.read(kv["i"])
+        write_fsg_fst(fsg, kv["o"], symfile=kv.get("syms"))
+        print(f"{kv['i']} -> {kv['o']} (ATT FSM)")
     else:
         print(__doc__)
         return 1

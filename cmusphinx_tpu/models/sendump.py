@@ -144,6 +144,70 @@ def read_sendump(path: str, logbase: float = 1.0001,
     return (-raw.astype(np.float32)) * scale
 
 
+def write_sendump(path: str, ln_mixw: np.ndarray, logbase: float = 1.0001,
+                  n_bits: int = 8, title: str = "cmusphinx_tpu sendump"
+                  ) -> None:
+    """Write ln mixture weights [n_feat, n_density, n_sen] as a sendump
+    file readable by the reference decoder (mk_s2sendump capability,
+    reference: SphinxTrain/src/programs/mk_s2sendump + the read layout in
+    s2_semi_mgau.c:889-1040).
+
+    8-bit: bytes are (-log_b(w)) >> SENSCR_SHIFT clamped to 159
+    (MAX_NEG_MIXW, tied_mgau_common.h:84).  4-bit: the 256 possible byte
+    values are k-means-clustered to a 16-entry codebook and packed as
+    nibbles (low nibble = even senone).
+    """
+    ln_mixw = np.asarray(ln_mixw, np.float64)
+    n_feat, n_density, n_sen = ln_mixw.shape
+    scale = float((1 << SENSCR_SHIFT) * math.log(logbase))
+    q = np.clip(np.round(-ln_mixw / scale), 0, 159).astype(np.uint8)
+
+    def wstr(fh, s: str) -> None:
+        b = s.encode() + b"\0"
+        fh.write(struct.pack("<i", len(b)))
+        fh.write(b)
+
+    with open(path, "wb") as fh:
+        wstr(fh, title)
+        wstr(fh, "1.0")
+        wstr(fh, f"feature_count {n_feat}")
+        wstr(fh, f"mixture_count {n_density}")
+        wstr(fh, f"model_count {n_sen}")
+        wstr(fh, f"logbase {logbase:.6f}")
+        wstr(fh, f"mixw_shift {SENSCR_SHIFT}")
+        if n_bits == 4:
+            # 16-entry codebook via 1-d k-means over the byte values.
+            vals = q.reshape(-1).astype(np.float64)
+            cb = np.percentile(vals, np.linspace(0, 100, 16))
+            for _ in range(20):
+                idx = np.argmin(np.abs(vals[:, None] - cb[None]), axis=1)
+                for j in range(16):
+                    sel = vals[idx == j]
+                    if len(sel):
+                        cb[j] = sel.mean()
+            cb = np.round(np.sort(cb)).astype(np.uint8)
+            wstr(fh, "cluster_count 15")  # reference writes 15, reads as 16
+            wstr(fh, "cluster_bits 4")
+        else:
+            wstr(fh, "cluster_count 0")
+        fh.write(struct.pack("<i", 0))  # end of header
+        if n_bits == 4:
+            fh.write(cb.tobytes())
+            idx = np.argmin(
+                np.abs(q.reshape(-1, 1).astype(np.int32)
+                       - cb[None].astype(np.int32)), axis=1
+            ).astype(np.uint8).reshape(q.shape)
+            if n_sen % 2:
+                idx = np.concatenate(
+                    [idx, np.zeros((n_feat, n_density, 1), np.uint8)], -1)
+            packed = (idx[:, :, 0::2] | (idx[:, :, 1::2] << 4)).astype(np.uint8)
+            fh.write(packed.tobytes())
+        else:
+            # Legacy rows/cols ints (read when cluster_count == 0).
+            fh.write(struct.pack("<ii", n_density, n_sen))
+            fh.write(q.tobytes())
+
+
 def read_mixture_weights(path: str, floor: float = 0.0000001,
                          norm: bool = True) -> np.ndarray:
     """Read s3 mixture_weights -> ln weights [n_feat, n_comp, n_sen]."""
