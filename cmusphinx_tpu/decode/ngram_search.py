@@ -343,12 +343,22 @@ class NgramSearch:
         Ts = [int(f.shape[0]) for f in feats_list]
         if not hasattr(self, "_batch_fn"):
             self._batch_fn = jax.jit(jax.vmap(self.device_decode))
-        # Group utterances into frame buckets to bound padding waste; one
-        # batched device call per group.
+        # ONE bucket: the scan is the serial axis, so total device time is
+        # driven by the number of scan steps (sum of per-group Tpad), not by
+        # padded-frame count — utterances run in parallel in the vmapped
+        # batch axis.  Padding waste only costs senone-scoring FLOPs, which
+        # are a minor term.  Split into groups only when padding would more
+        # than double the scored frames AND the corpus is long enough for
+        # the extra scan launches to amortize.
+        Tmax = -(-max(max(Ts), 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
+        pad_frames = Tmax * len(Ts)
         groups: dict = {}
-        for i, T in enumerate(Ts):
-            Tpad = -(-max(T, 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
-            groups.setdefault(Tpad, []).append(i)
+        if pad_frames <= 2 * sum(Ts) or len(Ts) < 8:
+            groups[Tmax] = list(range(len(Ts)))
+        else:
+            for i, T in enumerate(Ts):
+                Tpad = -(-max(T, 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
+                groups.setdefault(Tpad, []).append(i)
         out: List[Optional[Hypothesis]] = [None] * len(feats_list)
         bp = bool(self.config["bestpath"]) if bestpath is None else bestpath
         for Tpad, idxs in groups.items():

@@ -46,9 +46,18 @@ def _row_search(data, lo, hi, key):
 
 
 class DeviceNgram:
-    """Immutable device tables for vectorized backoff scoring."""
+    """Immutable device tables for vectorized backoff scoring.
 
-    def __init__(self, m: NgramModel):
+    Small vocabularies get a DENSE backoff-resolved trigram tensor
+    [V+1, V+1, V] (the +1 planes encode the "no context" -1 history), so
+    the per-frame [E, V] lookup in the decode scan is ONE gather instead of
+    ~2 log2(N)-round serial binary searches — the searches were the single
+    largest per-frame cost in the scan (latency-bound gather chains).  The
+    CSR binary-search path remains for large vocabularies; `dense3_limit`
+    caps the dense tensor's HBM footprint.
+    """
+
+    def __init__(self, m: NgramModel, dense3_limit: int = 256 << 20):
         self.V = m.n_words
         self.n = m.n
         self.ug_prob = jnp.asarray(m.ug_prob)
@@ -64,6 +73,39 @@ class DeviceNgram:
         self.tg_ptr = jnp.asarray(m.tg_ptr.astype(np.int32))   # [NB+1]
         self.tg_wid = pad1(m.tg_wid, jnp.int32)
         self.tg_prob = pad1(m.tg_prob, jnp.float32)
+        self.tg_dense = None
+        V = self.V
+        if V and (V + 1) * (V + 1) * V * 4 <= dense3_limit:
+            self.tg_dense = jnp.asarray(self._build_dense3(m))
+
+    def _build_dense3(self, m: NgramModel) -> np.ndarray:
+        """Host-side dense [V+1, V+1, V] fully-backed-off trigram scores.
+        Index V in the history axes = "no context" (-1)."""
+        V = self.V
+        ug = m.ug_prob.astype(np.float32)                      # [V]
+        # Dense bigram with backoff: B[w2, w3].
+        B = m.ug_bo.astype(np.float32)[:, None] + ug[None, :]  # [V, V]
+        bg_w1 = np.repeat(np.arange(V), np.diff(m.bg_ptr))
+        if len(m.bg_wid):
+            B[bg_w1, m.bg_wid] = m.bg_prob
+        T = np.empty((V + 1, V + 1, V), np.float32)
+        # w2 = -1 plane: unigram regardless of w1.
+        T[:, V, :] = ug[None, :]
+        # w1 = -1 plane: bigram scores.
+        T[V, :V, :] = B
+        if m.n < 3 or len(m.tg_wid) == 0:
+            T[:V, :V, :] = B[None, :, :]
+        else:
+            # via-backoff default: bg_bo(w1,w2) (0 when bigram absent) + B.
+            bo = np.zeros((V, V), np.float32)
+            if len(m.bg_wid):
+                bo[bg_w1, m.bg_wid] = m.bg_bo if len(m.bg_bo) else 0.0
+            T[:V, :V, :] = bo[:, :, None] + B[None, :, :]
+            # scatter trigram hits: trigram t belongs to bigram row b.
+            tg_b = np.repeat(np.arange(len(m.bg_wid)),
+                             np.diff(m.tg_ptr))
+            T[bg_w1[tg_b], m.bg_wid[tg_b], m.tg_wid] = m.tg_prob
+        return T
 
     # ------------------------------------------------------------------
     def _find_bg(self, w1, w2):
@@ -89,6 +131,11 @@ class DeviceNgram:
 
         w1 may be -1 (no context -> bigram), w2 may be -1 (-> unigram).
         """
+        if self.tg_dense is not None:
+            i1 = jnp.where(w1 < 0, self.V, w1)
+            i2 = jnp.where(w2 < 0, self.V, w2)
+            w1b, w2b, w3b = jnp.broadcast_arrays(i1, i2, w3)
+            return self.tg_dense[w1b, w2b, w3b]
         bg23 = self.score_bg(w2, w3)
         if self.n < 3 or self.NT == 0:
             return bg23

@@ -273,8 +273,25 @@ class PsParityScorer:
         # promote to int and do not.
         self.wrap_uint8 = wrap_uint8
         self.n_sen = raw_mixw.shape[-1]
-        self.table8 = jnp.asarray(logadd8_table(logbase, shift))
+        table8 = logadd8_table(logbase, shift)
+        # The 256-entry logadd table is monotone non-increasing with a tiny
+        # value range (0..~7), so table8[dd] is re-expressed as a sum of
+        # threshold comparisons sum_v [dd < t_v] — bit-exact, and ~14x
+        # faster than a [T, S] dynamic gather on TPU (gathers don't
+        # vectorize; compares ride the VPU).
+        assert np.all(np.diff(table8) <= 0), "logadd table must be monotone"
+        vmax = int(table8[0])
+        self._tbl_steps = jnp.asarray(
+            np.asarray([(table8 >= v).sum() for v in range(1, vmax + 1)],
+                       np.int32))
         self._score = jax.jit(self._score_impl)
+
+    def _logadd_tbl(self, dd):
+        """Exact table8[dd] via threshold sums (dd int32 >= 0, <= 255)."""
+        out = jnp.zeros_like(dd)
+        for v in range(self._tbl_steps.shape[0]):
+            out = out + (dd < self._tbl_steps[v]).astype(jnp.int32)
+        return out
 
     def _score_impl(self, feats):
         acc = None
@@ -296,7 +313,7 @@ class PsParityScorer:
                 y = wrap(w[:, j] + fsc[:, j : j + 1])
                 lo = jnp.minimum(tmp, y)
                 dd = jnp.minimum(jnp.abs(tmp - y), 255)
-                tmp = lo - self.table8[dd]
+                tmp = lo - self._logadd_tbl(dd)
             acc = tmp if acc is None else acc + tmp
         return -acc.astype(jnp.float32) * jnp.float32(self.scale)
 
