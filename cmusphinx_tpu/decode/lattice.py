@@ -31,6 +31,11 @@ import numpy as np
 
 from .fsg_search import Hypothesis, Segment
 
+try:
+    from ..utils import native as _native
+except Exception:  # pragma: no cover - native runtime is optional
+    _native = None
+
 NEG = -1.0e30
 
 
@@ -138,9 +143,20 @@ class Lattice:
         capability, without its single-history approximation).
 
         States are (node, LM history pair); the history set reachable at a
-        node is small because fillers are transparent.
+        node is small because fillers are transparent.  Runs in the native
+        C++ runtime (csrc/sphinx_runtime.cc lattice_bestpath) when built;
+        this Python implementation is the reference/fallback.
         """
         lw = self.lw if lw is None else lw
+        if _native is not None:
+            r = _native.lattice_bestpath(self, lw, start_lmwid)
+            if r is not None:
+                ids, score = r
+                segs = [Segment(self.nodes[i].word, self.nodes[i].sf,
+                                self.nodes[i].ef, 0.0) for i in ids]
+                words = [self.nodes[i].word for i in ids
+                         if not self.nodes[i].is_filler]
+                return Hypothesis(words, float(score), segs)
         # state: (node_id, h1, h2) -> (score, prev_state)
         best: Dict[Tuple[int, int, int], Tuple[float, Optional[Tuple]]] = {}
         order = sorted(range(len(self.nodes)),
@@ -207,7 +223,12 @@ class Lattice:
     def posterior(self, ascale: float = 0.05) -> np.ndarray:
         """Link-free node posteriors by forward-backward over edges
         (ps_lattice_posterior capability).  ascale scales acoustic scores
-        (reference -ascale, default 20 -> 1/20)."""
+        (reference -ascale, default 20 -> 1/20).  Native-accelerated
+        (csrc/sphinx_runtime.cc lattice_posterior) when built."""
+        if _native is not None and self.nodes:
+            p = _native.lattice_posterior(self, ascale)
+            if p is not None:
+                return p
         N = len(self.nodes)
         # log alpha/beta over nodes with summed (logaddexp) path mass.
         alpha = np.full(N, -np.inf)
@@ -250,8 +271,27 @@ class Lattice:
     def nbest(self, n: int = 10, lw: Optional[float] = None,
               start_lmwid: int = -1) -> List[Hypothesis]:
         """A* N-best paths (ps_astar capability).  Heuristic = exact
-        best-completion score from a backward Viterbi pass."""
+        best-completion score from a backward Viterbi pass.
+        Native-accelerated (csrc/sphinx_runtime.cc lattice_nbest) when
+        built; paths are de-duplicated by word sequence here."""
         lw = self.lw if lw is None else lw
+        if _native is not None and self.nodes:
+            r = _native.lattice_nbest(self, n, lw, start_lmwid)
+            if r is not None:
+                out, seen = [], set()
+                for ids, score in r:
+                    segs = [Segment(self.nodes[i].word, self.nodes[i].sf,
+                                    self.nodes[i].ef, 0.0) for i in ids]
+                    words = [self.nodes[i].word for i in ids
+                             if not self.nodes[i].is_filler]
+                    text = " ".join(words)
+                    if text in seen:
+                        continue
+                    seen.add(text)
+                    out.append(Hypothesis(words, float(score), segs))
+                    if len(out) >= n:
+                        break
+                return out
         N = len(self.nodes)
         # Backward best-completion (bigram-approximate heuristic).
         h = np.full(N, -np.inf)

@@ -132,7 +132,7 @@ class ContinuousScorer:
     """
 
     def __init__(self, gauden: GaussianParams, ln_mixw: np.ndarray,
-                 topn: int = 0):
+                 topn: int = 0, use_pallas: Optional[bool] = None):
         if gauden.n_feat != 1:
             raise ValueError("continuous scorer expects a single feature stream")
         S, K, D = gauden.n_mgau, gauden.n_density, gauden.maxlen
@@ -147,9 +147,28 @@ class ContinuousScorer:
         self.const = jnp.asarray(const.reshape(S * K))
         self.n_sen, self.n_density = S, K
         self.topn = topn
+        if use_pallas is None:
+            from .pallas_gmm import pallas_available
+            # The fused kernel pays off once the [T, S*K] density matrix is
+            # big enough to be HBM-resident under XLA.
+            use_pallas = pallas_available() and topn == 0 and S * K >= 4096
+        self.use_pallas = bool(use_pallas) and topn == 0
+        if self.use_pallas:
+            from .pallas_gmm import pack_params
+            lin_p, quad_p, const_p, bs = pack_params(
+                np.asarray(self.lin), np.asarray(self.quad),
+                np.asarray(self.const), S, K)
+            self._packed = (jnp.asarray(lin_p), jnp.asarray(quad_p),
+                            jnp.asarray(const_p), bs)
 
     def score(self, feats) -> jnp.ndarray:
         """feats [T, D] -> [T, S]."""
+        if self.use_pallas:
+            from .pallas_gmm import fused_mixture_scores_packed
+            lin_p, quad_p, const_p, bs = self._packed
+            return fused_mixture_scores_packed(
+                feats, lin_p, quad_p, const_p,
+                n_sen=self.n_sen, n_density=self.n_density, block_s=bs)
         ll = (self.const[None, :]
               + jnp.dot(feats, self.lin, precision=HIGHEST)
               - jnp.dot(feats * feats, self.quad, precision=HIGHEST))  # [T, S*K]
