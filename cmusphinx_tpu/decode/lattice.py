@@ -276,8 +276,15 @@ class Lattice:
         built; paths are de-duplicated by word sequence here."""
         lw = self.lw if lw is None else lw
         if _native is not None and self.nodes:
-            r = _native.lattice_nbest(self, n, lw, start_lmwid)
-            if r is not None:
+            # Retry with a larger over-request when de-duplication exhausts
+            # the batch while the C side may still hold more distinct paths
+            # (parity with the Python fallback, which pops until n texts).
+            want = 4 * n
+            for _ in range(4):
+                r = _native.lattice_nbest(self, n, lw, start_lmwid,
+                                          want=want)
+                if r is None:
+                    break
                 out, seen = [], set()
                 for ids, score in r:
                     segs = [Segment(self.nodes[i].word, self.nodes[i].sf,
@@ -291,6 +298,10 @@ class Lattice:
                     out.append(Hypothesis(words, float(score), segs))
                     if len(out) >= n:
                         break
+                if len(out) >= n or len(r) < want:
+                    return out
+                want *= 4
+            else:
                 return out
         N = len(self.nodes)
         # Backward best-completion (bigram-approximate heuristic).

@@ -98,6 +98,8 @@ def fused_mixture_scores_packed(x, lin_p, quad_p, const_p, *, n_sen: int,
     K, bs = n_density, block_s
     SpK = lin_p.shape[1]
     Sp = SpK // K
+    if T == 0:  # empty feature batch: match the XLA path's behavior
+        return jnp.zeros((0, n_sen), jnp.float32)
     bt = min(block_t, _round_up(T, 8))
     Tp = _round_up(T, bt)
     if Tp != T:

@@ -105,13 +105,72 @@ def write_subvq(path: str, svq: SubVQ) -> None:
         fh.write("End\n")
 
 
+def _kl_dists(M, V, LVsum, cm, cv) -> np.ndarray:
+    """[G, k] KL(g || c) between diagonal Gaussians, via GEMMs only — never
+    materializes a [G, k, d] intermediate (the naive broadcast would be
+    several GB for production models, e.g. 8k senones x 32 gau x vq 256).
+
+    KL = 0.5 * sum_d [ log vc - log vg + (vg + (mg - mc)^2) / vc - 1 ]
+    """
+    inv = 1.0 / cv                                       # [k, d]
+    a = np.log(cv).sum(1)[None, :] - LVsum[:, None]      # log-det terms
+    b = V @ inv.T                                        # sum vg/vc
+    c = ((M * M) @ inv.T - 2.0 * (M @ (cm * inv).T)
+         + (cm * cm * inv).sum(1)[None, :])              # sum (mg-mc)^2/vc
+    return 0.5 * np.maximum(a + b + c - M.shape[1], 0.0)
+
+
+def _kmeans_gauss(M, V, k: int, n_iter: int, rng: np.random.RandomState,
+                  n_restarts: int = 3):
+    """Bregman k-means over diagonal Gaussians under KL(g||c): assignment
+    minimizes KL to the codeword; the centroid update is exact moment
+    matching (mc = mean of member means, vc = mean of vg + (mg-mc)^2).
+    This directly minimizes the density-approximation error the shortlist
+    depends on — the modern counterpart of the reference's Euclidean VQ over
+    interleaved mean/var vectors (sphinx3 main_gausubvq.c, vector_vqgen)."""
+    G, d = M.shape
+    LVsum = np.log(V).sum(1)
+    best = None
+    for _ in range(n_restarts):
+        # k-means++-style seeding in KL distance.
+        idx = [rng.randint(G)]
+        dmin = _kl_dists(M, V, LVsum, M[idx[-1:]], V[idx[-1:]])[:, 0]
+        for _ in range(1, k):
+            tot = dmin.sum()
+            i = rng.choice(G, p=dmin / tot) if tot > 0 else rng.randint(G)
+            idx.append(int(i))
+            dmin = np.minimum(
+                dmin, _kl_dists(M, V, LVsum, M[i:i + 1], V[i:i + 1])[:, 0])
+        cm, cv = M[idx].copy(), V[idx].copy()
+        for _ in range(n_iter):
+            dk = _kl_dists(M, V, LVsum, cm, cv)
+            assign = dk.argmin(1)
+            mind = dk[np.arange(G), assign]
+            for c in range(k):
+                m = assign == c
+                if m.any():
+                    cm[c] = M[m].mean(0)
+                    cv[c] = (V[m] + (M[m] - cm[c]) ** 2).mean(0)
+                else:  # reseed empties to the worst-represented Gaussian
+                    far = int(mind.argmax())
+                    cm[c], cv[c] = M[far], V[far]
+                    mind[far] = 0.0
+        dk = _kl_dists(M, V, LVsum, cm, cv)
+        assign = dk.argmin(1)
+        err = float(dk[np.arange(G), assign].sum())
+        if best is None or err < best[3]:
+            best = (assign.copy(), cm.copy(), cv.copy(), err)
+    return best
+
+
 def build_subvq(gauden: GaussianParams, n_sv: int = 3, vqsize: int = 256,
-                n_iter: int = 20, seed: int = 0) -> SubVQ:
+                n_iter: int = 20, seed: int = 0, n_restarts: int = 3) -> SubVQ:
     """gausubvq capability: VQ the model's Gaussians per sub-vector.
 
     Dims are split contiguously into n_sv groups (the tool's default
-    auto-partition); codewords are k-means centroids of the Gaussian means,
-    with codeword variances the mean of member variances.
+    auto-partition); each sub-space codebook is trained with KL-divergence
+    Bregman k-means over the Gaussians' (mean, var) pairs (see
+    _kmeans_gauss), with k-means++ seeding and best-of-n restarts.
     """
     if gauden.n_feat != 1:
         raise ValueError("subvq expects single-stream models")
@@ -119,33 +178,21 @@ def build_subvq(gauden: GaussianParams, n_sv: int = 3, vqsize: int = 256,
     S, K = gauden.n_mgau, gauden.n_density
     G = S * K
     vqsize = min(vqsize, G)
-    all_means = gauden.means[:, 0, :, :D].reshape(G, D)
-    all_var = gauden.var[:, 0, :, :D].reshape(G, D)
+    all_means = gauden.means[:, 0, :, :D].reshape(G, D).astype(np.float64)
+    all_var = np.maximum(
+        gauden.var[:, 0, :, :D].reshape(G, D).astype(np.float64), 1e-6)
     rng = np.random.RandomState(seed)
     bounds = np.linspace(0, D, n_sv + 1).astype(int)
     dims, cms, cvs, sqerr = [], [], [], []
     mp = np.zeros((S, K, n_sv), np.int32)
     for s in range(n_sv):
         d = np.arange(bounds[s], bounds[s + 1], dtype=np.int32)
-        X = all_means[:, d]
-        # k-means++ -ish init: random distinct rows.
-        cent = X[rng.choice(G, vqsize, replace=False)].copy()
-        assign = np.zeros(G, np.int64)
-        for _ in range(n_iter):
-            d2 = ((X[:, None, :] - cent[None]) ** 2).sum(-1)   # [G, vq]
-            assign = d2.argmin(1)
-            for c in range(vqsize):
-                m = assign == c
-                if m.any():
-                    cent[c] = X[m].mean(0)
-        err = float(((X - cent[assign]) ** 2).sum())
-        v = np.empty_like(cent)
-        for c in range(vqsize):
-            m = assign == c
-            v[c] = all_var[:, d][m].mean(0) if m.any() else 1.0
+        assign, cm, cv, err = _kmeans_gauss(
+            all_means[:, d], all_var[:, d], vqsize, n_iter, rng,
+            n_restarts=n_restarts)
         dims.append(d)
-        cms.append(cent.astype(np.float32))
-        cvs.append(np.maximum(v, 1e-4).astype(np.float32))
+        cms.append(cm.astype(np.float32))
+        cvs.append(np.maximum(cv, 1e-4).astype(np.float32))
         sqerr.append(err)
         mp[:, :, s] = assign.reshape(S, K)
     return SubVQ(dims=dims, means=cms, var=cvs, map=mp, sqerr=sqerr)
@@ -182,10 +229,19 @@ class SubVQScorer:
         self._const = [jnp.asarray(a) for a in const_l]
         self._dims = [jnp.asarray(d) for d in dim_l]
         # Gather index: gaussian g, subvector s -> column s*vq + map[g,s].
+        # map entries of -1 mark absent Gaussians (codebooks with fewer than
+        # n_density components — the reference compacts them away in
+        # subvq_map_compact, subvq.c): clamp the index and force their
+        # approx log density to -inf so they never win in logsumexp or
+        # shortlist().
         vq = svq.vqsize
+        flat_map = svq.map.reshape(S * K, n_sv)
+        valid = (flat_map >= 0).all(-1)                   # [S*K]
         gidx = (np.arange(n_sv)[None, :] * vq
-                + svq.map.reshape(S * K, n_sv)).astype(np.int32)
+                + np.maximum(flat_map, 0)).astype(np.int32)
         self._gidx = jnp.asarray(gidx)                    # [S*K, n_sv]
+        self._invalid_bias = jnp.asarray(
+            np.where(valid, 0.0, -1e30).astype(np.float32))
         self._lnw = jnp.asarray(ln_mixw.reshape(S, K).astype(np.float32))
 
     def codeword_densities(self, x):
@@ -202,7 +258,7 @@ class SubVQScorer:
     def gaussian_approx(self, x):
         """[T, S, K] approximate per-Gaussian log densities."""
         dens = self.codeword_densities(x)                 # [T, n_sv*vq]
-        g = dens[:, self._gidx].sum(-1)                   # [T, S*K]
+        g = dens[:, self._gidx].sum(-1) + self._invalid_bias[None]
         return g.reshape(x.shape[0], self.n_sen, self.n_density)
 
     def score(self, x):

@@ -107,8 +107,12 @@ class LmArrays:
                 self.tg_prob, self.V, self.order)
 
 
-def tg_score_batch(lm_arrays: LmArrays, w1, w2, w3) -> np.ndarray:
+def tg_score_batch(lm_arrays: LmArrays, w1, w2, w3):
+    """Returns None (signalling Python fallback) when no native lib is
+    available, matching the other wrappers' graceful-degradation contract."""
     lib = get_lib()
+    if lib is None:
+        return None
     w1 = np.ascontiguousarray(w1, np.int32)
     w2 = np.ascontiguousarray(w2, np.int32)
     w3 = np.ascontiguousarray(w3, np.int32)
@@ -196,14 +200,16 @@ def lattice_posterior(lat, ascale: float):
 
 
 def lattice_nbest(lat, n: int, lw: float, start_lmwid: int,
-                  max_pop: int = 200000):
+                  max_pop: int = 200000, want: int = 0):
     """Native A* N-best.  Returns list of (node_ids, score) or None.
-    Over-requests (4n) so the Python caller can de-dup same-text paths."""
+    Over-requests (4n by default; callers may pass a larger `want` when
+    de-duplication exhausts the batch) so the Python caller can de-dup
+    same-text paths."""
     lib = get_lib()
     if lib is None or not lat.nodes:
         return None
     la, lma = LatArrays(lat), LmArrays(lat.lm)
-    want = 4 * n
+    want = want or 4 * n
     cap = np.int64(want * (lat.n_frames + 8))
     nodes = np.zeros(int(cap), np.int32)
     lens = np.zeros(want, np.int32)
