@@ -140,13 +140,17 @@ class FsgSearch:
 
         # Device constants.
         self._tp = jnp.asarray(tmat.log_tp[g.tmat_idx])
-        self._sen_idx = jnp.asarray(g.sen_idx)
-        self._sen_valid = jnp.asarray(g.sen_valid)
+        self._xs_members = jnp.asarray(g.xs_members)
+        self._xs_seg = jnp.asarray(g.xs_seg)
+        self._xs_valid = jnp.asarray(g.xs_valid)
+        self._static_xs = jnp.asarray(g.static_xs)
         self._word_of = jnp.asarray(g.word_of)
         self._is_entry = jnp.asarray(g.is_entry)
-        self._ent_lc_mask = jnp.asarray(g.ent_lc_mask)
-        self._exit_mask = jnp.asarray(g.exit_mask)
-        self._exit_any = jnp.asarray(g.exit_mask.any(axis=1))
+        self._lc_row = jnp.asarray(g.lc_row)
+        self._lcmap = jnp.asarray(g.lcmap)
+        self._exit_tab = jnp.asarray(g.exit_tab)
+        self._exit_tab_c = jnp.asarray(np.maximum(g.exit_tab, 0))
+        self._rssid = jnp.asarray(g.rssid.astype(np.int32))
         self._esrc = jnp.asarray(g.esrc if len(g.esrc) else np.zeros(1, np.int32))
         self._edst = jnp.asarray(g.edst if len(g.edst) else np.zeros(1, np.int32))
         self._has_edges = len(g.esrc) > 0
@@ -160,9 +164,11 @@ class FsgSearch:
         st0 = self.closure[fsg.start_state]                  # [N]
         ent0 = st0[self.src] + self.entry_lp                 # [K]
         entc0 = np.full(g.n_chan, float(NEG_INF), np.float32)
-        sel = g.is_entry & g.ent_lc_mask[:, self.sil_ci]
-        entc0[sel] = ent0[g.word_of[sel]]
+        entc0[g.is_entry] = ent0[g.word_of[g.is_entry]]
         self._entc0 = jnp.asarray(entc0)
+        xs0 = g.static_xs.copy()
+        xs0[g.is_entry] = g.lcmap[g.lc_row[g.is_entry], self.sil_ci]
+        self._entxs0 = jnp.asarray(xs0)
         # Final weights: exit of link k (rc=SIL) + closure to final state.
         self._finw = np.asarray(
             self.closure[self.dst, fsg.final_state], np.float32)
@@ -171,14 +177,20 @@ class FsgSearch:
     # ------------------------------------------------------------------
     def _make_step(self):
         g = self.graph
-        K, C, nci = self.n_link, g.n_chan, g.n_ci
+        K, C, S = self.n_link, g.n_chan, g.n_emit_state
         neg = jnp.float32(NEG_INF)
 
         def step(carry, inputs):
-            alpha0, hist0 = carry
+            alpha0, hist0, xsr0 = carry
             sen_t, t, valid = inputs
-            sen_c = jnp.where(self._sen_valid, sen_t[self._sen_idx], neg)
-            alpha, (hist,), ex, (exh,) = hmm_step(alpha0, (hist0,), sen_c, self._tp)
+            xsflat = segment_max(sen_t[self._xs_members], self._xs_seg,
+                                 num_segments=g.n_xs * S,
+                                 indices_are_sorted=True)
+            xscores = jnp.where(self._xs_valid,
+                                xsflat.reshape(g.n_xs, S), neg)
+            sen_c = xscores[xsr0, jnp.arange(S)[None, :]]
+            alpha, (hist, xsr), ex, (exh, _) = hmm_step(
+                alpha0, (hist0, xsr0), sen_c, self._tp)
 
             if bool(self.config["prune"]):
                 bestscr = jnp.max(alpha)
@@ -186,34 +198,27 @@ class FsgSearch:
                 keep = jnp.max(alpha, axis=1) > bestscr + beam
                 alpha = jnp.where(keep[:, None], alpha, neg)
 
-            # Per-link exits with right-context readout.
-            ex_exit = jnp.where(self._exit_any, ex, neg)
-            wex = segment_max(ex_exit, self._word_of, num_segments=K,
-                              indices_are_sorted=True)
-            wex = jnp.maximum(wex, neg)
-            exm = jnp.where(self._exit_mask, ex[:, None], neg)
-            wex_rc = segment_max(exm, self._word_of, num_segments=K,
-                                 indices_are_sorted=True)
-            wex_rc = jnp.maximum(wex_rc, neg)
-            win = (ex_exit >= wex[self._word_of]) & self._exit_any
-            wexh = segment_max(jnp.where(win, exh, -1), self._word_of,
-                               num_segments=K, indices_are_sorted=True)
+            # Per-link exits with per-rc-variant readout.
+            exv = jnp.where(self._exit_tab >= 0,
+                            ex[self._exit_tab_c], neg)         # [K, Vr]
+            wex = jnp.max(exv, axis=1)                         # [K]
+            vwin = jnp.argmax(exv, axis=1)
+            wexh = exh[jnp.take_along_axis(
+                self._exit_tab_c, vwin[:, None], axis=1)[:, 0]]
 
             # Link-to-link handoff: A[k, k2] = exit(k, rc=firstci(k2)) + W.
-            A = wex_rc[:, self._firstci] + self._W            # [K, K]
+            rcv = self._rssid[:, self._firstci]                # [K, K]
+            A = jnp.take_along_axis(exv, rcv, axis=1) + self._W
             bp_id = t * K + jnp.arange(K, dtype=jnp.int32)
-            ent = jnp.max(A, axis=0)                          # [K]
-            # Route by the incoming link's final CI phone.
-            cent = segment_max(A, self._lastci, num_segments=nci)  # [nci, K]
-            cent = jnp.maximum(cent, neg)
-            win2 = A >= cent[self._lastci, :]
-            ebp = segment_max(jnp.where(win2, bp_id[:, None], -1),
-                              self._lastci, num_segments=nci)  # [nci, K]
-            centc = cent[:, self._word_of].T                   # [C, nci]
-            entm = jnp.where(self._ent_lc_mask, centc, neg)
-            ent_c = jnp.max(entm, axis=1)
-            ci_best = jnp.argmax(entm, axis=1)
-            ebp_c = ebp[ci_best, self._word_of]
+            ent = jnp.max(A, axis=0)                           # [K]
+            kstar = jnp.argmax(A, axis=0)                      # [K]
+            ebp = jnp.where(ent > neg * 0.5, bp_id[kstar], -1)
+            lcstar = self._lastci[kstar]                       # [K]
+
+            wo = self._word_of
+            ent_c = jnp.where(self._is_entry, ent[wo], neg)
+            ent_xs_c = self._lcmap[self._lc_row, lcstar[wo]]
+            ebp_c = ebp[wo]
 
             # Within-word propagation over edges.
             prop = jnp.full((C,), neg)
@@ -227,13 +232,20 @@ class FsgSearch:
 
             entry_c = jnp.where(self._is_entry, ent_c, prop)
             entry_b = jnp.where(self._is_entry, ebp_c, bprop)
-            alpha, (hist,) = hmm_enter(alpha, (hist,), entry_c, (entry_b,))
+            entry_x = jnp.where(self._is_entry, ent_xs_c, self._static_xs)
+            alpha, (hist, xsr) = hmm_enter(alpha, (hist, xsr), entry_c,
+                                           (entry_b, entry_x))
 
             alpha = jnp.where(valid, alpha, alpha0)
             hist = jnp.where(valid, hist, hist0)
+            xsr = jnp.where(valid, xsr, xsr0)
             wex = jnp.where(valid, wex, neg)
-            wexsil = jnp.where(valid, wex_rc[:, self.sil_ci], neg)
-            return (alpha, hist), (wex, wexh, wexsil)
+            wexsil = jnp.where(
+                valid,
+                jnp.take_along_axis(
+                    exv, self._rssid[:, self.sil_ci][:, None], axis=1)[:, 0],
+                neg)
+            return (alpha, hist, xsr), (wex, wexh, wexsil)
 
         return step
 
@@ -254,11 +266,14 @@ class FsgSearch:
 
         alpha = jnp.full((g.n_chan, g.n_emit_state), NEG_INF)
         hist = jnp.full((g.n_chan, g.n_emit_state), -1, jnp.int32)
-        alpha, (hist,) = hmm_enter(alpha, (hist,), self._entc0,
-                                   (jnp.full((g.n_chan,), -1, jnp.int32),))
+        xsr = jnp.broadcast_to(self._static_xs[:, None],
+                               (g.n_chan, g.n_emit_state)).astype(jnp.int32)
+        alpha, (hist, xsr) = hmm_enter(
+            alpha, (hist, xsr), self._entc0,
+            (jnp.full((g.n_chan,), -1, jnp.int32), self._entxs0))
 
-        (alpha, hist), (wex_t, wexh_t, wexsil_t) = jax.lax.scan(
-            self._step_fn, (alpha, hist),
+        (alpha, hist, xsr), (wex_t, wexh_t, wexsil_t) = jax.lax.scan(
+            self._step_fn, (alpha, hist, xsr),
             (scores, jnp.arange(Tpad, dtype=jnp.int32), valid))
         wex_t = np.asarray(wex_t)
         wexh_t = np.asarray(wexh_t)

@@ -1,31 +1,46 @@
-"""Cross-word triphone lexicon graph: dense channel DAG for one word list.
+"""Cross-word triphone lexicon graph: dense channel tables for one word list.
 
-Replaces the reference's multiplexed root channels + right-context fan-out
-(reference: pocketsphinx/src/libpocketsphinx/ngram_search_fwdtree.c:67-149
-mpx root channels, ngram_search.c:534 ngram_search_alloc_all_rc,
-dict2pid.h:133-180 ldiph_lc/lrdiph_rc/rssid compressed tables) with explicit
-*variant channels*:
+Replaces the reference's lexicon-tree + multiplexed root channels +
+right-context fan-out (reference:
+pocketsphinx/src/libpocketsphinx/ngram_search_fwdtree.c:67-149 mpx root
+channels, ngram_search.c:534 ngram_search_alloc_all_rc,
+dict2pid.h:133-180 ldiph_lc/lrdiph_rc/rssid compressed tables;
+sphinx3/src/libs3decoder/libsearch/lextree.c composite cross-word
+triphones) with a flat channel table designed for dense TPU evaluation:
 
-- word-begin phone: one channel per distinct left-context senone sequence
-  (compressed over all CI left contexts, like ldiph_lc), entered only by
-  predecessors whose final CI phone is in the variant's context set;
-- word-end phone: one channel per distinct right-context senone sequence
-  (like rssid), read out per next-word-initial CI phone;
-- single-phone words: left-context classes x right-context variants over the
-  full (lc, rc) grid (lrdiph_rc), entered per lc, read out per rc;
-- word-internal phones: one channel (full triphone), chained by an explicit
-  edge list (a first/last phone may have several variants, so within-word
-  propagation is a scatter-max over edges rather than an index shift).
+- **mpx left contexts**: each word-begin channel is multiplexed — its senone
+  sequence is an int payload (an "xs row" id) that rides the Viterbi argmax
+  through the HMM states, switched at entry by the predecessor's final CI
+  phone through a compressed lc->row table (`lcmap`).  This removes the
+  per-left-context channel fan-out entirely (measured ~40 variants/word on
+  hub4wsj — near-zero ssid sharing), exactly like the reference's mpx HMMs.
+- **right contexts**, two modes:
+  * ``fanout``: one channel per distinct word-final senone sequence over all
+    right contexts (exact, the pocketsphinx alloc_all_rc analog), with a
+    compressed per-word ``rssid[w, rc] -> variant`` table for readout — no
+    [C, n_ci] masks.
+  * ``composite``: ONE word-final channel whose per-state senone score is the
+    max over all right-context variants' senones (the sphinx3 time-switch-
+    tree composite-triphone approximation, srch_time_switch_tree.c /
+    lextree.c composite ssids).  This is the scalable large-vocabulary mode:
+    channels/word drops to ~(pron length + 1) and the per-frame exit readout
+    is a single score per word.
+- word-internal phones: one static channel each, chained by an edge list.
+- single-phone words: mpx entry channels; in fanout mode one channel per
+  distinct rc column of the (lc, rc) triphone grid (lrdiph_rc), in composite
+  mode one channel whose lc->row table maps to composite-over-rc sets.
 
-The result is a flat numpy table set that the decoders turn into a dense
-per-frame tensor program: every token automatically carries its exact
-cross-word context because context variants ARE distinct channels.
+Senone lookup is factored through the **xs table**: a deduplicated list of
+"extended senone sequences" — per state, a set of senone ids whose per-frame
+score is the max over members (regular ssids are singleton sets).  The
+decoder computes ``xscores[n_xs, S]`` once per frame with one segment-max and
+channels gather from it by their (carried or static) xs row id.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Sequence
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -41,107 +56,239 @@ class WordGraph:
     n_word: int
     n_ci: int
     n_emit_state: int
+    rc_mode: str               # "fanout" | "composite"
+    # xs (extended senone sequence) table: CSR over (row, state) -> members
+    n_xs: int
+    xs_members: np.ndarray     # [M] senone ids, grouped by (row, state)
+    xs_seg: np.ndarray         # [M] segment id = row * S + state (sorted)
+    xs_valid: np.ndarray       # [n_xs, S] bool
     # per channel
-    sen_idx: np.ndarray        # [C, S] senone ids
-    sen_valid: np.ndarray      # [C, S] bool
+    static_xs: np.ndarray      # [C] xs row used for non-entry activation
     tmat_idx: np.ndarray       # [C]
-    word_of: np.ndarray        # [C] word index (sorted ascending)
-    is_entry: np.ndarray       # [C] bool: word-entry channel
-    ent_lc_mask: np.ndarray    # [C, n_ci] bool: entered when predecessor ends in ci
-    exit_mask: np.ndarray      # [C, n_ci] bool: word-final, serves right-context ci
+    word_of: np.ndarray        # [C] word index (ascending)
+    is_entry: np.ndarray       # [C] bool (word-initial channel)
+    lc_row: np.ndarray         # [C] row of lcmap for entry channels (0 else)
+    lcmap: np.ndarray          # [n_lcrows, n_ci] -> xs row id
     # within-word edges (src exit -> dst entry)
     esrc: np.ndarray           # [Ne]
     edst: np.ndarray           # [Ne]
+    # word exits
+    exit_tab: np.ndarray       # [W, n_rcvar] exit channel ids (-1 pad)
+    rssid: np.ndarray          # [W, n_ci] -> variant column of exit_tab
+    n_rcvar: int
     # per word
-    firstci: np.ndarray        # [W] first CI phone
-    lastci: np.ndarray         # [W] last CI phone
+    firstci: np.ndarray        # [W]
+    lastci: np.ndarray         # [W]
+
+
+class _XsTable:
+    """Interning table for extended senone sequences."""
+
+    def __init__(self, mdef: Mdef, S: int):
+        self.mdef = mdef
+        self.S = S
+        self.bad = int(np.int32(np.uint16(BAD_SENID)))
+        self._index: Dict[tuple, int] = {}
+        self.rows: List[Tuple[Tuple[int, ...], ...]] = []
+        self._ssid_cache: Dict[int, int] = {}
+
+    def _intern(self, key: Tuple[Tuple[int, ...], ...]) -> int:
+        r = self._index.get(key)
+        if r is None:
+            r = len(self.rows)
+            self._index[key] = r
+            self.rows.append(key)
+        return r
+
+    def of_ssid(self, ssid: int) -> int:
+        r = self._ssid_cache.get(ssid)
+        if r is None:
+            sen = self.mdef.sseq[ssid]
+            key = tuple((int(s),) if int(s) != self.bad else ()
+                        for s in sen[: self.S])
+            r = self._intern(key)
+            self._ssid_cache[ssid] = r
+        return r
+
+    def of_composite(self, ssids: Sequence[int]) -> int:
+        sen = self.mdef.sseq[np.asarray(sorted(set(int(s) for s in ssids)))]
+        key = tuple(
+            tuple(sorted(set(int(x) for x in sen[:, s] if int(x) != self.bad)))
+            for s in range(self.S))
+        return self._intern(key)
+
+    def arrays(self):
+        S = self.S
+        members: List[int] = []
+        segs: List[int] = []
+        valid = np.zeros((len(self.rows), S), bool)
+        for r, row in enumerate(self.rows):
+            for s, mem in enumerate(row):
+                if mem:
+                    valid[r, s] = True
+                    members.extend(mem)
+                    segs.extend([r * S + s] * len(mem))
+        return (np.asarray(members, np.int32), np.asarray(segs, np.int32),
+                valid)
 
 
 def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
-                     d2p: Dict2Pid) -> WordGraph:
+                     d2p: Dict2Pid, rc_mode: str = "fanout") -> WordGraph:
+    """Build the channel tables for `dict_wids` (search-vocabulary order)."""
     nci = mdef.n_ciphone
-    ssid_l: List[int] = []
+    S = mdef.max_emit_state
+    W = len(dict_wids)
+    xs = _XsTable(mdef, S)
+    ssid_of = mdef.phone_ssid
+    tmat_of = mdef.phone_tmat
+    pid = d2p._pid
+
+    static_xs: List[int] = []
     tmat_l: List[int] = []
     word_l: List[int] = []
     is_entry: List[bool] = []
-    ent_rows: List[np.ndarray] = []     # [n_ci] bool per channel
-    exit_rows: List[np.ndarray] = []
+    lc_row: List[int] = []
     esrc: List[int] = []
     edst: List[int] = []
-    firstci = np.zeros(len(dict_wids), np.int32)
-    lastci = np.zeros(len(dict_wids), np.int32)
-    no_ctx = np.zeros(nci, bool)
+    exit_lists: List[List[int]] = [[] for _ in range(W)]
+    rssid = np.zeros((W, nci), np.int8)
+    firstci = np.zeros(W, np.int32)
+    lastci = np.zeros(W, np.int32)
 
-    def add_chan(k, pid, entry_mask=None, exit_mask_=None):
-        c = len(ssid_l)
-        ssid_l.append(int(mdef.phone_ssid[pid]))
-        tmat_l.append(int(mdef.phone_tmat[pid]))
+    # lcmap row interning.
+    lc_index: Dict[tuple, int] = {}
+    lc_rows: List[Tuple[int, ...]] = []
+
+    def intern_lcrow(row: Sequence[int]) -> int:
+        key = tuple(int(x) for x in row)
+        r = lc_index.get(key)
+        if r is None:
+            r = len(lc_rows)
+            lc_index[key] = r
+            lc_rows.append(key)
+        return r
+
+    def add_chan(k: int, sxs: int, tmat: int, lcrow: int = 0,
+                 entry: bool = False) -> int:
+        c = len(static_xs)
+        static_xs.append(sxs)
+        tmat_l.append(tmat)
         word_l.append(k)
-        is_entry.append(entry_mask is not None)
-        ent_rows.append(no_ctx if entry_mask is None else entry_mask)
-        exit_rows.append(no_ctx if exit_mask_ is None else exit_mask_)
+        is_entry.append(entry)
+        lc_row.append(lcrow)
         return c
+
+    # Shared-structure caches (keyed by phone context, not word).
+    begin_cache: Dict[Tuple[int, int], Tuple[int, int, int]] = {}
+    end_cache: Dict[Tuple[int, int], tuple] = {}
+    single_cache: Dict[int, tuple] = {}
 
     for k, wid in enumerate(dict_wids):
         phones = d.pron[wid]
         firstci[k] = phones[0]
         lastci[k] = phones[-1]
         if len(phones) == 1:
-            b = phones[0]
-            # (lc, rc) grid of pids (WPOS_SINGLE falls back to CI when the
-            # triphone is missing, e.g. all filler phones).
-            grid = np.empty((nci, nci), np.int32)
-            for lc in range(nci):
-                for rc in range(nci):
-                    grid[lc, rc] = d2p._pid(b, lc, rc, WPOS_SINGLE)
-            # Left-context classes = unique grid rows.
-            rows, lc_class = np.unique(grid, axis=0, return_inverse=True)
-            for cls in range(len(rows)):
-                lcs = lc_class == cls
-                # Right-context variants within the class.
-                uniq, inv = np.unique(rows[cls], return_inverse=True)
-                for v, pid in enumerate(uniq):
-                    add_chan(k, int(pid), entry_mask=lcs, exit_mask_=inv == v)
-        else:
-            # First phone: lc variants.
-            tab = np.array([d2p._pid(phones[0], lc, phones[1], WPOS_BEGIN)
-                            for lc in range(nci)], np.int32)
-            uniq, inv = np.unique(tab, return_inverse=True)
-            prev = [add_chan(k, int(pid), entry_mask=inv == v)
-                    for v, pid in enumerate(uniq)]
-            # Internal phones.
-            for i in range(1, len(phones) - 1):
-                pid = d2p._pid(phones[i], phones[i - 1], phones[i + 1],
-                               WPOS_INTERNAL)
-                c = add_chan(k, pid)
-                for p in prev:
-                    esrc.append(p)
-                    edst.append(c)
-                prev = [c]
-            # Last phone: rc variants.
-            tab = np.array([d2p._pid(phones[-1], phones[-2], rc, WPOS_END)
-                            for rc in range(nci)], np.int32)
-            uniq, inv = np.unique(tab, return_inverse=True)
-            for v, pid in enumerate(uniq):
-                c = add_chan(k, int(pid), exit_mask_=inv == v)
-                for p in prev:
-                    esrc.append(p)
-                    edst.append(c)
+            b = int(phones[0])
+            info = single_cache.get(b)
+            if info is None:
+                grid = np.empty((nci, nci), np.int64)
+                for lc in range(nci):
+                    for rc in range(nci):
+                        grid[lc, rc] = pid(b, lc, rc, WPOS_SINGLE)
+                tm = int(tmat_of[grid[d2p.sil, d2p.sil]])
+                if rc_mode == "composite":
+                    # One channel; lc row = composite-over-rc per lc.
+                    row = [xs.of_composite(ssid_of[grid[lc]])
+                           for lc in range(nci)]
+                    info = ("c", intern_lcrow(row), row[d2p.sil], tm)
+                else:
+                    # One channel per distinct rc column (unique over rc of
+                    # the lc->pid column vector) = lrdiph_rc variants.
+                    cols, inv = np.unique(grid.T, axis=0, return_inverse=True)
+                    rows = []
+                    for v in range(len(cols)):
+                        row = [xs.of_ssid(int(ssid_of[p])) for p in cols[v]]
+                        rows.append((intern_lcrow(row), row[d2p.sil]))
+                    info = ("f", rows, inv.astype(np.int8), tm)
+                single_cache[b] = info
+            if info[0] == "c":
+                _, lcrow, sxs, tm = info
+                c = add_chan(k, sxs, tm, lcrow, entry=True)
+                exit_lists[k].append(c)
+            else:
+                _, rows, inv, tm = info
+                for lcrow, sxs in rows:
+                    c = add_chan(k, sxs, tm, lcrow, entry=True)
+                    exit_lists[k].append(c)
+                rssid[k] = inv
+            continue
 
-    S = mdef.max_emit_state
-    ssid = np.asarray(ssid_l, np.int32)
-    sen = mdef.sseq[ssid].astype(np.int32)
-    bad = int(np.int32(np.uint16(BAD_SENID)))
+        # --- multi-phone word ---
+        b, r = int(phones[0]), int(phones[1])
+        info = begin_cache.get((b, r))
+        if info is None:
+            tab = [pid(b, lc, r, WPOS_BEGIN) for lc in range(nci)]
+            row = [xs.of_ssid(int(ssid_of[p])) for p in tab]
+            info = (intern_lcrow(row), row[d2p.sil],
+                    int(tmat_of[tab[d2p.sil]]))
+            begin_cache[(b, r)] = info
+        lcrow, sxs0, tm0 = info
+        prev = add_chan(k, sxs0, tm0, lcrow, entry=True)
+
+        for i in range(1, len(phones) - 1):
+            p = pid(int(phones[i]), int(phones[i - 1]), int(phones[i + 1]),
+                    WPOS_INTERNAL)
+            c = add_chan(k, xs.of_ssid(int(ssid_of[p])), int(tmat_of[p]))
+            esrc.append(prev)
+            edst.append(c)
+            prev = c
+
+        e, pe = int(phones[-1]), int(phones[-2])
+        info = end_cache.get((e, pe))
+        if info is None:
+            tab = np.array([pid(e, pe, rc, WPOS_END) for rc in range(nci)],
+                           np.int64)
+            tm = int(tmat_of[tab[d2p.sil]])
+            if rc_mode == "composite":
+                info = ("c", xs.of_composite(ssid_of[tab]), tm)
+            else:
+                uniq, inv = np.unique(ssid_of[tab], return_inverse=True)
+                info = ("f", [xs.of_ssid(int(u)) for u in uniq],
+                        inv.astype(np.int8), tm)
+            end_cache[(e, pe)] = info
+        if info[0] == "c":
+            _, sxs, tm = info
+            c = add_chan(k, sxs, tm)
+            esrc.append(prev)
+            edst.append(c)
+            exit_lists[k].append(c)
+        else:
+            _, sxss, inv, tm = info
+            for sxs in sxss:
+                c = add_chan(k, sxs, tm)
+                esrc.append(prev)
+                edst.append(c)
+                exit_lists[k].append(c)
+            rssid[k] = inv
+
+    n_rcvar = max((len(e) for e in exit_lists), default=1)
+    exit_tab = np.full((W, n_rcvar), -1, np.int32)
+    for k, lst in enumerate(exit_lists):
+        exit_tab[k, : len(lst)] = lst
+
+    members, segs, valid = xs.arrays()
     return WordGraph(
-        n_chan=len(ssid_l), n_word=len(dict_wids), n_ci=nci, n_emit_state=S,
-        sen_idx=np.where(sen == bad, 0, sen),
-        sen_valid=sen != bad,
+        n_chan=len(static_xs), n_word=W, n_ci=nci, n_emit_state=S,
+        rc_mode=rc_mode,
+        n_xs=len(xs.rows), xs_members=members, xs_seg=segs, xs_valid=valid,
+        static_xs=np.asarray(static_xs, np.int32),
         tmat_idx=np.asarray(tmat_l, np.int32),
         word_of=np.asarray(word_l, np.int32),
         is_entry=np.asarray(is_entry, bool),
-        ent_lc_mask=np.stack(ent_rows) if ent_rows else np.zeros((0, nci), bool),
-        exit_mask=np.stack(exit_rows) if exit_rows else np.zeros((0, nci), bool),
-        esrc=np.asarray(esrc, np.int32),
-        edst=np.asarray(edst, np.int32),
+        lc_row=np.asarray(lc_row, np.int32),
+        lcmap=np.asarray(lc_rows, np.int32) if lc_rows
+        else np.zeros((1, nci), np.int32),
+        esrc=np.asarray(esrc, np.int32), edst=np.asarray(edst, np.int32),
+        exit_tab=exit_tab, rssid=rssid, n_rcvar=n_rcvar,
         firstci=firstci, lastci=lastci,
     )

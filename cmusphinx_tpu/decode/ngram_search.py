@@ -1,30 +1,35 @@
-"""N-gram (trigram) large-vocabulary decoder: dense flat-lexicon Viterbi.
+"""N-gram (trigram) large-vocabulary decoder: dense Viterbi over mpx channels.
 
 Capability parity with the pocketsphinx two-pass N-gram search (reference:
 pocketsphinx/src/libpocketsphinx/ngram_search_fwdtree.c token-passing pass 1,
 ngram_search_fwdflat.c flat-lexicon pass 2, ngram_search.c:360-440 backpointer
-table) — redesigned as ONE dense exact pass for TPU (SURVEY.md §7 step 6):
+table) and the sphinx3 time-switch-tree decoder
+(sphinx3/src/libs3decoder/libsearch/srch_time_switch_tree.c) — redesigned as
+ONE dense pass for TPU (SURVEY.md §7 step 6):
 
-- The reference's lexicon *tree* exists to skip compute on scalar CPUs; on TPU
-  the flat lexicon is evaluated densely instead: every word's phone graph is a
-  run of HMM channels (with cross-word triphone variant channels, lexgraph.py),
-  and one batched `hmm_step` updates ALL channels' [C, S] scores per frame.
-  No active lists, no pruning required for exactness (optional beam reproduces
-  the reference's behavior).
-- The backpointer table becomes a fixed-size device tape in the scan carry:
+- Channels (one HMM each, lexgraph.py) are evaluated densely: one batched
+  `hmm_step` updates ALL channels' [C, S] scores per frame.  Left cross-word
+  context is *multiplexed*: the senone-sequence id is an int payload riding
+  the Viterbi argmax (the reference's mpx hmm ssid switching, hmm.h:155-177),
+  so word-begin channels need no per-context fan-out.  Right cross-word
+  context is exact fan-out for small vocabularies and sphinx3-style
+  composite triphones for large ones (rc_mode, lexgraph.py).
+- The backpointer table is a fixed-size device tape in the scan carry:
   E slots per frame (top-E word exits, the analog of -maxwpf absolute
-  pruning), each recording (word, score, prev-slot, LM history pair) plus the
-  per-right-context exit score vector — the dense analog of the reference's
-  per-bp `bscore_stack` (ngram_search.h:109-126).  The per-token payload
-  riding through `hmm_step` is the entry slot id.
+  pruning), each recording (word, score, prev-slot, LM history pair) plus
+  per-right-context-variant exit scores — the dense analog of the per-bp
+  `bscore_stack` (ngram_search.h:109-126).
 - Cross-word LM application follows ngram_search word_transition semantics:
   per frame, entry score of word w = max over this frame's exit slots e of
-  exit[e, firstphone(w)] + lw*P(w | h1[e], h2[e]) + log(wip); fillers instead
-  add silpen/fillpen = log(pip)+log(sil/fillprob) (ngram_search.c:118-124) and
-  are transparent to the LM history (real_wid semantics).  The [E, V] trigram
-  batch resolves on device via DeviceNgram row-wise binary search.  Entries
-  route to the left-context variant channel matching the exiting word's final
-  CI phone (the dense analog of mpx ssid switching).
+  exit[e, rssid(e, firstphone(w))] + lw*P(w | h1[e], h2[e]) + log(wip);
+  fillers instead add silpen/fillpen = log(pip)+log(sil/fillprob)
+  (ngram_search.c:118-124) and are transparent to the LM history (real_wid
+  semantics).  Each word takes a single best entry per frame (the
+  reference's single-best cross-word approximation).  Trigram scores come
+  from a dense [V+1,V+1,V] table for tiny vocabularies or per-slot dense
+  rows built by scattering DMP successor lists (DeviceNgram.score_rows) —
+  the device analog of the reference's tginfo caches
+  (lm/lm3g_templates.c:46-260).
 - Trigram history is exact per backpointer; like the reference we keep a
   single history per (word, frame) — its rc score stack shares the best
   path's history (ngram_search_save_bp semantics).
@@ -60,6 +65,11 @@ NGRAM_ARGS = [
     Arg("beam", float, 1e-48, "Beam width applied to every frame in Viterbi search"),
     Arg("wbeam", float, 7e-29, "Beam width applied to word exits"),
     Arg("maxwpf", int, 32, "Maximum distinct word exits recorded per frame"),
+    Arg("rcmode", str, "auto",
+        "Cross-word right-context handling: 'fanout' (exact per-context "
+        "word-final channels, pocketsphinx alloc_all_rc) or 'composite' "
+        "(sphinx3 composite triphones, scalable to large vocabularies); "
+        "'auto' picks fanout below 1000 words"),
     Arg("bestpath", bool, False,
         "Run lattice trigram rescoring after Viterbi (ps -bestpath)"),
     Arg("bestpathlw", float, 9.5, "Language weight for bestpath rescoring"),
@@ -105,7 +115,7 @@ class NgramVocab:
 
 
 class NgramSearch:
-    """Trigram flat-lexicon decoder over a senone scorer."""
+    """Trigram decoder over a senone scorer."""
 
     def __init__(self, lm: NgramModel, d: Dictionary, mdef: Mdef,
                  tmat: TransitionMatrices, scorer,
@@ -129,7 +139,12 @@ class NgramSearch:
         self.mdef = mdef
         self.scorer = scorer
         self.vocab = v = NgramVocab(lm, d)
-        g = self.graph = build_word_graph(v.dict_wid, d, mdef, Dict2Pid(mdef, d))
+        rc_mode = str(cfg["rcmode"])
+        if rc_mode == "auto":
+            rc_mode = "fanout" if v.n_word < 1000 else "composite"
+        self.rc_mode = rc_mode
+        g = self.graph = build_word_graph(v.dict_wid, d, mdef,
+                                          Dict2Pid(mdef, d), rc_mode=rc_mode)
         self.E = min(self.E, v.n_word)
         self.dlm = DeviceNgram(lm)
         self.start_lmwid = lm.word_id("<s>")
@@ -138,14 +153,17 @@ class NgramSearch:
 
         # Device constants.
         self._tp = jnp.asarray(tmat.log_tp[g.tmat_idx])      # [C, S, S+1]
-        self._sen_idx = jnp.asarray(g.sen_idx)
-        self._sen_valid = jnp.asarray(g.sen_valid)
+        self._xs_members = jnp.asarray(g.xs_members)
+        self._xs_seg = jnp.asarray(g.xs_seg)
+        self._xs_valid = jnp.asarray(g.xs_valid)
+        self._static_xs = jnp.asarray(g.static_xs)
         self._word_of = jnp.asarray(g.word_of)
         self._is_entry = jnp.asarray(g.is_entry)
-        self._ent_lc_mask = jnp.asarray(g.ent_lc_mask)
-        self._exit_mask = jnp.asarray(g.exit_mask)
-        self._exit_any = jnp.asarray(g.exit_mask.any(axis=1))
-        ne = max(len(g.esrc), 1)
+        self._lc_row = jnp.asarray(g.lc_row)
+        self._lcmap = jnp.asarray(g.lcmap)
+        self._exit_tab = jnp.asarray(g.exit_tab)
+        self._exit_tab_c = jnp.asarray(np.maximum(g.exit_tab, 0))
+        self._rssid = jnp.asarray(g.rssid.astype(np.int32))
         self._esrc = jnp.asarray(g.esrc if len(g.esrc) else np.zeros(1, np.int32))
         self._edst = jnp.asarray(g.edst if len(g.edst) else np.zeros(1, np.int32))
         self._has_edges = len(g.esrc) > 0
@@ -169,9 +187,12 @@ class NgramSearch:
                 ent0[k] = self.lw * self.lm.bg_score(
                     self.start_lmwid, int(v.lmwid[k])) + self.log_wip
         entc0 = np.full((g.n_chan,), float(NEG_INF), np.float32)
-        sel = g.is_entry & g.ent_lc_mask[:, self.sil_ci]
-        entc0[sel] = ent0[g.word_of[sel]]
+        entc0[g.is_entry] = ent0[g.word_of[g.is_entry]]
         self._entc0 = jnp.asarray(entc0)
+        # Initial mpx rows: silence left context.
+        xs0 = g.static_xs.copy()
+        xs0[g.is_entry] = g.lcmap[g.lc_row[g.is_entry], self.sil_ci]
+        self._entxs0 = jnp.asarray(xs0)
         self._ent0 = ent0
         self._fil_pen_np = fp
         self._step_fn = jax.jit(self._make_step())
@@ -180,19 +201,32 @@ class NgramSearch:
     # ------------------------------------------------------------------
     def _make_step(self):
         g, v = self.graph, self.vocab
-        E, W, C, nci = self.E, v.n_word, g.n_chan, g.n_ci
+        E, W, C = self.E, v.n_word, g.n_chan
+        S, Vr = g.n_emit_state, g.n_rcvar
         neg = jnp.float32(NEG_INF)
         lw = jnp.float32(self.lw)
         log_wip = jnp.float32(self.log_wip)
         log_pip = jnp.float32(self.log_pip)
         start_h = jnp.int32(self.start_lmwid)
+        use_rows = self.dlm.tg_dense is None
 
         def step(carry, inputs):
-            alpha0, hist0, tape0 = carry
+            alpha0, hist0, xsr0, tape0 = carry
             tw0, tsc0, tprev0, th20, th10, trc0 = tape0
             sen_t, t, valid = inputs
-            sen_c = jnp.where(self._sen_valid, sen_t[self._sen_idx], neg)
-            alpha, (hist,), ex, (exh,) = hmm_step(alpha0, (hist0,), sen_c, self._tp)
+
+            # Extended-senone-sequence scores: one segment-max per frame
+            # (composite triphones = max over members, lextree.c semantics;
+            # regular ssids are singleton segments).
+            xsflat = segment_max(sen_t[self._xs_members], self._xs_seg,
+                                 num_segments=g.n_xs * S,
+                                 indices_are_sorted=True)
+            xscores = jnp.where(self._xs_valid,
+                                xsflat.reshape(g.n_xs, S), neg)
+            sen_c = xscores[xsr0, jnp.arange(S)[None, :]]        # [C, S]
+
+            alpha, (hist, xsr), ex, (exh, _) = hmm_step(
+                alpha0, (hist0, xsr0), sen_c, self._tp)
 
             if self.prune:
                 # Channel beam + word-exit beam relative to the frame best
@@ -202,25 +236,19 @@ class NgramSearch:
                 alpha = jnp.where(keep[:, None], alpha, neg)
                 ex = jnp.where(ex > bestscr + jnp.float32(self.log_wbeam), ex, neg)
 
-            # ---- word exits: per-word best + per-right-context readout ----
-            ex_exit = jnp.where(self._exit_any, ex, neg)
-            wex = segment_max(ex_exit, self._word_of, num_segments=W,
-                              indices_are_sorted=True)             # [W]
-            wex = jnp.maximum(wex, neg)
-            exm = jnp.where(self._exit_mask, ex[:, None], neg)     # [C, nci]
-            wex_rc = segment_max(exm, self._word_of, num_segments=W,
-                                 indices_are_sorted=True)          # [W, nci]
-            wex_rc = jnp.maximum(wex_rc, neg)
-            # Best-exit payload per word (winner-takes-payload; ties -> max id).
-            win = (ex_exit >= wex[self._word_of]) & self._exit_any
-            wexh = segment_max(jnp.where(win, exh, -1), self._word_of,
-                               num_segments=W, indices_are_sorted=True)
+            # ---- word exits: per-variant readout [W, Vr] ----
+            exv = jnp.where(self._exit_tab >= 0,
+                            ex[self._exit_tab_c], neg)           # [W, Vr]
+            wex = jnp.max(exv, axis=1)                           # [W]
+            vwin = jnp.argmax(exv, axis=1)                       # [W]
+            wexh = exh[jnp.take_along_axis(
+                self._exit_tab_c, vwin[:, None], axis=1)[:, 0]]  # [W]
 
             # ---- top-E word exits -> tape slots ----
             vals, wsel = jax.lax.top_k(wex, E)
             ok = (vals > neg * 0.5) & valid
-            slot_rc = wex_rc[wsel]                                 # [E, nci]
-            pe = wexh[wsel]                                        # prev slot (-1 = <s>)
+            slot_rc = exv[wsel]                                  # [E, Vr]
+            pe = wexh[wsel]                                      # prev slot (-1 = <s>)
             pc = jnp.maximum(pe, 0)
             prev_h2 = jnp.where(pe >= 0, th20[pc], start_h)
             prev_h1 = jnp.where(pe >= 0, th10[pc], -1)
@@ -238,28 +266,34 @@ class NgramSearch:
             trc = upd(trc0, jnp.where(ok[:, None], slot_rc, neg), (t * E, 0))
 
             # ---- word entries (take effect next frame) ----
-            lmw = self.dlm.score_tg(
-                h1[:, None], h2[:, None],
-                jnp.broadcast_to(self._lmwid_c[None, :], (E, W)))
+            if use_rows:
+                rows = self.dlm.score_rows(h1, h2)               # [E, Vlm]
+                lmw = jnp.take(rows, self._lmwid_c, axis=1)      # [E, W]
+            else:
+                lmw = self.dlm.score_tg(
+                    h1[:, None], h2[:, None],
+                    jnp.broadcast_to(self._lmwid_c[None, :], (E, W)))
             bonus = jnp.where(self._is_filler[None, :],
                               self._fil_pen[None, :],
-                              lw * lmw + log_wip)                  # [E, W]
-            # Acoustic part: the exit score for THIS word's initial CI phone.
-            ac = slot_rc[:, self._firstci]                         # [E, W]
+                              lw * lmw + log_wip)                # [E, W]
+            # Acoustic part: the exiting word's rc variant serving THIS
+            # word's initial CI phone (rssid readout; composite mode has a
+            # single variant so this is the composite exit score).
+            rcv = self._rssid[wsel][:, self._firstci]            # [E, W]
+            ac = jnp.take_along_axis(slot_rc, rcv, axis=1)       # [E, W]
             cand = jnp.where(ok[:, None], ac + bonus, neg)
-            # Entry table over (predecessor-final ci, word).
-            lastci_e = self._lastci[wsel]                          # [E]
-            cent = segment_max(cand, lastci_e, num_segments=nci)   # [nci, W]
-            cent = jnp.maximum(cent, neg)
-            win2 = cand >= cent[lastci_e, :]                       # [E, W]
-            ebp = segment_max(jnp.where(win2, slot_ids[:, None], -1),
-                              lastci_e, num_segments=nci)          # [nci, W]
-            # Route to left-context variant channels.
-            centc = cent[:, self._word_of].T                       # [C, nci]
-            entm = jnp.where(self._ent_lc_mask, centc, neg)
-            ent_c = jnp.max(entm, axis=1)                          # [C]
-            ci_best = jnp.argmax(entm, axis=1)                     # [C]
-            ebp_c = ebp[ci_best, self._word_of]
+            # Single best entry per word (word_transition semantics).
+            ent_w = jnp.max(cand, axis=0)                        # [W]
+            estar = jnp.argmax(cand, axis=0)                     # [W]
+            has_ent = ent_w > neg * 0.5
+            ebp_w = jnp.where(has_ent, slot_ids[estar], -1)
+            lcstar = self._lastci[wsel][estar]                   # [W]
+
+            # Entry channel routing: score + mpx xs row by left context.
+            wo = self._word_of
+            ent_c = jnp.where(self._is_entry, ent_w[wo], neg)
+            ent_xs_c = self._lcmap[self._lc_row, lcstar[wo]]
+            ent_bp_c = ebp_w[wo]
 
             # ---- within-word propagation over edges ----
             prop = jnp.full((C,), neg)
@@ -272,13 +306,16 @@ class NgramSearch:
                     jnp.where(win3, exh[self._esrc], -1))
 
             entry_c = jnp.where(self._is_entry, ent_c, prop)
-            entry_b = jnp.where(self._is_entry, ebp_c, bprop)
-            alpha, (hist,) = hmm_enter(alpha, (hist,), entry_c, (entry_b,))
+            entry_b = jnp.where(self._is_entry, ent_bp_c, bprop)
+            entry_x = jnp.where(self._is_entry, ent_xs_c, self._static_xs)
+            alpha, (hist, xsr) = hmm_enter(alpha, (hist, xsr), entry_c,
+                                           (entry_b, entry_x))
 
             # Padded frames are identity.
             alpha = jnp.where(valid, alpha, alpha0)
             hist = jnp.where(valid, hist, hist0)
-            return (alpha, hist, (tw, tsc, tprev, th2, th1, trc)), None
+            xsr = jnp.where(valid, xsr, xsr0)
+            return (alpha, hist, xsr, (tw, tsc, tprev, th2, th1, trc)), None
 
         return step
 
@@ -293,15 +330,18 @@ class NgramSearch:
         scores = self.scorer.score(feats)                        # [Tpad, n_sen]
         alpha = jnp.full((g.n_chan, g.n_emit_state), NEG_INF)
         hist = jnp.full((g.n_chan, g.n_emit_state), -1, jnp.int32)
-        alpha, (hist,) = hmm_enter(alpha, (hist,), self._entc0,
-                                   (jnp.full((g.n_chan,), -1, jnp.int32),))
+        xsr = jnp.broadcast_to(self._static_xs[:, None],
+                               (g.n_chan, g.n_emit_state)).astype(jnp.int32)
+        alpha, (hist, xsr) = hmm_enter(
+            alpha, (hist, xsr), self._entc0,
+            (jnp.full((g.n_chan,), -1, jnp.int32), self._entxs0))
         B = Tpad * E
         tape = (jnp.full((B,), -1, jnp.int32), jnp.full((B,), NEG_INF),
                 jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
                 jnp.full((B,), -1, jnp.int32),
-                jnp.full((B, g.n_ci), NEG_INF))
-        (alpha, hist, tape), _ = jax.lax.scan(
-            self._step_fn, (alpha, hist, tape),
+                jnp.full((B, g.n_rcvar), NEG_INF))
+        (alpha, hist, xsr, tape), _ = jax.lax.scan(
+            self._step_fn, (alpha, hist, xsr, tape),
             (scores, jnp.arange(Tpad, dtype=jnp.int32), valid))
         return tape
 
@@ -318,9 +358,9 @@ class NgramSearch:
         fpad[:T] = feats
         valid = jnp.arange(Tpad) < T
         tape = self.device_decode(jnp.asarray(fpad), valid)
-        tw, tsc, tprev, th2, th1, trc = (np.asarray(a) for a in tape)
-        self._last = (tw, tsc, tprev, th2, th1, trc, T)
-        hyp = self._backtrace(tw, tsc, tprev, th2, th1, trc, T)
+        tape = tuple(np.asarray(a) for a in tape)
+        self._last = tape + (T,)
+        hyp = self._backtrace(*tape, T)
         if bestpath is None:
             bestpath = bool(self.config["bestpath"])
         if bestpath and hyp.segments:
@@ -370,9 +410,9 @@ class NgramSearch:
             tapes = jax.device_get(self._batch_fn(jnp.asarray(fpad),
                                                   jnp.asarray(valid)))
             for r, i in enumerate(idxs):
-                tw, tsc, tprev, th2, th1, trc = (np.asarray(a[r]) for a in tapes)
-                self._last = (tw, tsc, tprev, th2, th1, trc, Ts[i])
-                hyp = self._backtrace(tw, tsc, tprev, th2, th1, trc, Ts[i])
+                tape = tuple(np.asarray(a[r]) for a in tapes)
+                self._last = tape + (Ts[i],)
+                hyp = self._backtrace(*tape, Ts[i])
                 if bp and hyp.segments:
                     h2 = self.get_lattice().bestpath(
                         lw=float(self.config["bestpathlw"]),
@@ -383,6 +423,10 @@ class NgramSearch:
         return out
 
     # ------------------------------------------------------------------
+    def _slot_rc_score(self, trc_row: np.ndarray, k: int, ci: int) -> float:
+        """Exit score of word k's rc variant serving CI phone ci."""
+        return float(trc_row[int(self.graph.rssid[k, ci])])
+
     def get_lattice(self):
         """Word lattice for the most recent utterance (ps_get_lattice)."""
         from .lattice import LatNode, Lattice
@@ -400,8 +444,8 @@ class NgramSearch:
             if prev < 0:
                 entry = float(self._ent0[k])
             else:
-                fc = int(g.firstci[k])
-                base = float(trc[prev][fc])
+                pk = int(tw[prev])
+                base = self._slot_rc_score(trc[prev], pk, int(g.firstci[k]))
                 if base <= float(NEG_INF) * 0.5:
                     base = float(tsc[prev])
                 if v.is_filler[k]:
@@ -411,11 +455,14 @@ class NgramSearch:
                         int(th1[prev]), int(th2[prev]), int(v.lmwid[k])
                     ) + self.log_wip
                 entry = base + lmterm
+            # Expand the variant exit vector to a per-CI vector for the
+            # lattice's rc readout (rssid decompression).
+            rc_vec = trc[slot][g.rssid[k].astype(np.int64)]
             nodes.append(LatNode(
                 id=len(nodes), word=v.word_str[k], kidx=k,
                 lmwid=int(v.lmwid[k]), is_filler=bool(v.is_filler[k]),
                 fil_pen=float(self._fil_pen_np[k]), sf=sf, ef=t,
-                vit_score=float(tsc[slot]), rc_score=trc[slot].copy(),
+                vit_score=float(tsc[slot]), rc_score=rc_vec.copy(),
                 entry_score=entry))
         return Lattice(nodes, g.firstci, g.lastci, self.lm, self.lw,
                        self.log_wip, self.sil_ci, self.finish_lmwid, T)
@@ -435,7 +482,7 @@ class NgramSearch:
             for e in range(E):
                 if ws[e] < 0:
                     continue
-                s = trc[sl][e][self.sil_ci]
+                s = self._slot_rc_score(trc[sl][e], int(ws[e]), self.sil_ci)
                 if not np.isfinite(s) or s <= float(NEG_INF) * 0.5:
                     s = tsc[sl][e]
                 if not v.is_finish[ws[e]]:

@@ -73,6 +73,9 @@ class DeviceNgram:
         self.tg_ptr = jnp.asarray(m.tg_ptr.astype(np.int32))   # [NB+1]
         self.tg_wid = pad1(m.tg_wid, jnp.int32)
         self.tg_prob = pad1(m.tg_prob, jnp.float32)
+        # Max successor-list lengths (static scatter widths for score_rows).
+        self.MAXB = int(np.diff(m.bg_ptr).max()) if self.NB else 0
+        self.MAXT = int(np.diff(m.tg_ptr).max()) if self.NT else 0
         self.tg_dense = None
         V = self.V
         if V and (V + 1) * (V + 1) * V * 4 <= dense3_limit:
@@ -125,6 +128,49 @@ class DeviceNgram:
         backoff = self.ug_bo[w2c] + self.ug_prob[w3]
         s = jnp.where(hit, self.bg_prob[bc], backoff)
         return jnp.where(w2 < 0, self.ug_prob[w3], s)
+
+    def score_rows(self, h1, h2):
+        """Dense trigram score rows for a small batch of histories:
+        [E] (h1, h2) pairs -> [E, V] scores for EVERY word.
+
+        Built by scattering the DMP successor lists instead of running
+        E x V binary searches — the device analog of the reference's
+        per-history tginfo caches (lm/lm3g_templates.c:46-260): start from
+        the backed-off base row, overwrite the h2 bigram successors, add
+        bo(h1,h2), then overwrite the (h1,h2) trigram successors.  -1
+        histories back off (h1<0 -> bigram row, h2<0 -> unigram row).
+        Exact: matches score_tg elementwise.
+        """
+        E = int(h1.shape[0])
+        V = self.V
+        rowsel = jnp.arange(E, dtype=jnp.int32)[:, None]
+        h2c = jnp.maximum(h2, 0)
+        base = jnp.where(h2[:, None] >= 0,
+                         self.ug_bo[h2c][:, None] + self.ug_prob[None, :],
+                         self.ug_prob[None, :])                 # [E, V]
+        # Column V is a scatter dustbin for masked lanes.
+        rows = jnp.concatenate([base, jnp.zeros((E, 1), base.dtype)], axis=1)
+        if self.NB:
+            lo, hi = self.bg_ptr[h2c], self.bg_ptr[h2c + 1]
+            k = jnp.arange(self.MAXB, dtype=jnp.int32)[None, :]
+            pos = lo[:, None] + k
+            ok = (pos < hi[:, None]) & (h2[:, None] >= 0)
+            idx = jnp.minimum(pos, self.NB - 1)
+            cols = jnp.where(ok, self.bg_wid[idx], V)
+            rows = rows.at[rowsel, cols].set(self.bg_prob[idx])
+        if self.n >= 3 and self.NT:
+            b = self._find_bg(jnp.maximum(h1, 0), h2c)
+            b = jnp.where((h1 >= 0) & (h2 >= 0), b, -1)
+            bc = jnp.maximum(b, 0)
+            rows = rows + jnp.where(b >= 0, self.bg_bo[bc], 0.0)[:, None]
+            lo, hi = self.tg_ptr[bc], self.tg_ptr[bc + 1]
+            k = jnp.arange(self.MAXT, dtype=jnp.int32)[None, :]
+            pos = lo[:, None] + k
+            ok = (pos < hi[:, None]) & (b[:, None] >= 0)
+            idx = jnp.minimum(pos, self.NT - 1)
+            cols = jnp.where(ok, self.tg_wid[idx], V)
+            rows = rows.at[rowsel, cols].set(self.tg_prob[idx])
+        return rows[:, :V]
 
     def score_tg(self, w1, w2, w3):
         """Full trigram backoff chain, vectorized over query arrays.

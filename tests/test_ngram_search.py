@@ -150,3 +150,48 @@ def test_continuous_model_vs_sphinx3_golden(reference_root):
         feats = np.asarray(fp.compute(read_mfc(
             f"{R}/cepstra/{sub}/{utt}.mfc")))
         assert s.decode(feats).text.lower() == golden[utt], utt
+
+
+def test_score_rows_matches_score_tg(turtle_lm):
+    """Dense-row scatter LM scoring == elementwise backoff chain."""
+    import jax.numpy as jnp
+    m = turtle_lm
+    d = DeviceNgram(m, dense3_limit=0)   # force the CSR/scatter path
+    assert d.tg_dense is None
+    rng = np.random.RandomState(3)
+    V = m.n_words
+    h1 = np.append(rng.randint(-1, V, 14), [-1, -1]).astype(np.int32)
+    h2 = np.append(rng.randint(-1, V, 14), [rng.randint(0, V), -1]).astype(np.int32)
+    rows = np.asarray(d.score_rows(jnp.asarray(h1), jnp.asarray(h2)))
+    w3 = np.arange(V, dtype=np.int32)
+    for e in range(len(h1)):
+        want = np.asarray(d.score_tg(np.full(V, h1[e], np.int32),
+                                     np.full(V, h2[e], np.int32), w3))
+        np.testing.assert_allclose(rows[e], want, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"history ({h1[e]},{h2[e]})")
+
+
+def test_composite_rc_mode_decodes_tidigits(reference_root):
+    """The scalable composite right-context mode (sphinx3 TST semantics)
+    still decodes the tidigits golden subset correctly."""
+    R = reference_root / "pocketsphinx"
+    H = R / "model/hmm/en/tidigits"
+    mdef = Mdef.read(str(H / "mdef"))
+    g = read_gauden(str(H / "means"), str(H / "variances"))
+    w, meta = read_sendump(str(H / "sendump"), return_raw=True)
+    tmat = TransitionMatrices.read(str(H / "transition_matrices"))
+    d = Dictionary.read(str(R / "model/lm/en/tidigits.dic"), mdef)
+    lm = NgramModel.read(str(R / "model/lm/en/tidigits.DMP"))
+    cfg = Config(FE_ARGS, FEAT_ARGS)
+    cfg.update_from_file(str(H / "feat.params"))
+    fp = FeatPipeline(cfg)
+    scorer = PsParityScorer(g, w, fp.stream_slices(),
+                            wrap_uint8=meta["n_bits"] == 4)
+    search = NgramSearch(lm, d, mdef, tmat, scorer, rcmode="composite")
+    assert search.rc_mode == "composite"
+    assert search.graph.n_rcvar == 1
+    for utt, ref in list(TIDIGITS_REFS.items())[:3]:
+        cep = read_mfc(str(R / f"test/data/tidigits/{utt}.mfc"))
+        feats = np.asarray(fp.compute(cep))
+        hyp = search.decode(feats)
+        assert hyp.text == ref, f"{utt}: {hyp.text!r} != {ref!r}"
