@@ -19,6 +19,8 @@ import numpy as np
 
 from ..api import DECODER_ARGS, Decoder
 from ..utils.config import Arg, Config
+from ..utils.log import E_INFO, err_set_debug_level, err_set_logfile
+from ..utils.profile import Profile
 
 BATCH_ARGS = [
     Arg("ctl", str, "", "Control file listing utterances to be processed"),
@@ -31,6 +33,8 @@ BATCH_ARGS = [
     Arg("nbestdir", str, "", "Directory for writing N-best hypothesis lists"),
     Arg("nbest", int, 0, "Number of N-best hypotheses to write per utterance"),
     Arg("platform", str, "", "Force a JAX platform (e.g. cpu)"),
+    Arg("logfn", str, "", "Log file (err.h err_set_logfile)"),
+    Arg("debug", int, 0, "Debug level (err.h err_set_debug_level)"),
 ]
 
 
@@ -69,25 +73,42 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", str(cfg["platform"]))
     if not str(cfg["ctl"]):
         raise SystemExit("-ctl is required")
-    dec = Decoder(cfg)
+    if str(cfg["logfn"]):
+        err_set_logfile(str(cfg["logfn"]))
+    err_set_debug_level(int(cfg["debug"]))
+    prof = Profile()
+    with prof.timer("init"):
+        dec = Decoder(cfg)
+    if getattr(dec, "search", None) is not None and \
+            hasattr(dec.search, "graph"):
+        g = dec.search.graph
+        E_INFO("search graph: %d channels, %d words, rc_mode=%s",
+               g.n_chan, g.n_word, getattr(g, "rc_mode", "?"))
 
     ctl = [l.strip() for l in open(str(cfg["ctl"])) if l.strip()]
     hyp_fh = open(str(cfg["hyp"]), "w") if str(cfg["hyp"]) else None
     seg_fh = open(str(cfg["hypseg"]), "w") if str(cfg["hypseg"]) else None
     total_audio = total_wall = 0.0
+    n_done = prof.counter("utts")
+    n_words = prof.counter("words")
     for utt in ctl:
         path = os.path.join(str(cfg["cepdir"]), utt + str(cfg["cepext"]))
         t0 = time.time()
-        if bool(cfg["adcin"]):
-            hyp = dec.decode_raw(path)
-            n_frames = len(dec.seg()) and dec.seg()[-1].end_frame + 1
-        else:
-            hyp = dec.decode_cep_file(path)
-            n_frames = dec.seg()[-1].end_frame + 1 if dec.seg() else 0
+        with prof.timer("decode"):
+            if bool(cfg["adcin"]):
+                hyp = dec.decode_raw(path)
+                n_frames = len(dec.seg()) and dec.seg()[-1].end_frame + 1
+            else:
+                hyp = dec.decode_cep_file(path)
+                n_frames = dec.seg()[-1].end_frame + 1 if dec.seg() else 0
         dt = time.time() - t0
         audio_s = n_frames * 0.01
         total_audio += audio_s
         total_wall += dt
+        n_done.increment()
+        n_words.increment(len(hyp.words))
+        E_INFO("%s: %d frames, %.2fs wall%s", utt, n_frames, dt,
+               f" ({dt / audio_s:.2f} xRT)" if audio_s else "")
         print(f"{utt}: {hyp.text}", flush=True)
         if hyp_fh:
             hyp_fh.write(f"{hyp.text} ({utt} {hyp.score:.0f})\n")
@@ -113,6 +134,7 @@ def main(argv=None) -> int:
         print(f"TOTAL {total_audio:.2f} seconds speech, "
               f"{total_wall:.2f} seconds wall")
         print(f"AVERAGE {total_wall / total_audio:.2f} xRT")
+        print(f"STATS {prof.report(audio_seconds=total_audio)}")
     return 0
 
 

@@ -36,7 +36,6 @@ from typing import List, Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.ops import segment_max
 
 from ..models.dict import Dictionary
 from ..models.dict2pid import Dict2Pid
@@ -140,9 +139,10 @@ class FsgSearch:
 
         # Device constants.
         self._tp = jnp.asarray(tmat.log_tp[g.tmat_idx])
-        self._xs_members = jnp.asarray(g.xs_members)
-        self._xs_seg = jnp.asarray(g.xs_seg)
-        self._xs_valid = jnp.asarray(g.xs_valid)
+        self._sing_sen = jnp.asarray(g.sing_sen)
+        self._sing_valid = jnp.asarray(g.sing_valid)
+        self._comp_mem = jnp.asarray(g.comp_mem)
+        self._comp_valid = jnp.asarray(g.comp_valid)
         self._static_xs = jnp.asarray(g.static_xs)
         self._word_of = jnp.asarray(g.word_of)
         self._is_entry = jnp.asarray(g.is_entry)
@@ -151,9 +151,8 @@ class FsgSearch:
         self._exit_tab = jnp.asarray(g.exit_tab)
         self._exit_tab_c = jnp.asarray(np.maximum(g.exit_tab, 0))
         self._rssid = jnp.asarray(g.rssid.astype(np.int32))
-        self._esrc = jnp.asarray(g.esrc if len(g.esrc) else np.zeros(1, np.int32))
-        self._edst = jnp.asarray(g.edst if len(g.edst) else np.zeros(1, np.int32))
-        self._has_edges = len(g.esrc) > 0
+        self._prev_chan = jnp.asarray(g.prev_chan)
+        self._prev_chan_c = jnp.asarray(np.maximum(g.prev_chan, 0))
         self._firstci = jnp.asarray(g.firstci)
         self._lastci = jnp.asarray(g.lastci)
         # Link-to-link transition weights: W[k, k2] = closure(dst_k, src_k2)
@@ -183,11 +182,11 @@ class FsgSearch:
         def step(carry, inputs):
             alpha0, hist0, xsr0 = carry
             sen_t, t, valid = inputs
-            xsflat = segment_max(sen_t[self._xs_members], self._xs_seg,
-                                 num_segments=g.n_xs * S,
-                                 indices_are_sorted=True)
-            xscores = jnp.where(self._xs_valid,
-                                xsflat.reshape(g.n_xs, S), neg)
+            base = jnp.where(self._sing_valid, sen_t[self._sing_sen], neg)
+            comp = jnp.where(self._comp_valid,
+                             jnp.max(sen_t[self._comp_mem], axis=-1), neg)
+            xscores = jnp.concatenate(
+                [base[: g.n_sing], comp[: g.n_xs - g.n_sing]], axis=0)
             sen_c = xscores[xsr0, jnp.arange(S)[None, :]]
             alpha, (hist, xsr), ex, (exh, _) = hmm_step(
                 alpha0, (hist0, xsr0), sen_c, self._tp)
@@ -220,15 +219,10 @@ class FsgSearch:
             ent_xs_c = self._lcmap[self._lc_row, lcstar[wo]]
             ebp_c = ebp[wo]
 
-            # Within-word propagation over edges.
-            prop = jnp.full((C,), neg)
-            bprop = jnp.full((C,), -1, jnp.int32)
-            if self._has_edges:
-                es = ex[self._esrc]
-                prop = prop.at[self._edst].max(es)
-                win3 = es >= prop[self._edst]
-                bprop = bprop.at[self._edst].max(
-                    jnp.where(win3, exh[self._esrc], -1))
+            # Within-word propagation: in-degree <= 1 -> pure gather.
+            has_prev = self._prev_chan >= 0
+            prop = jnp.where(has_prev, ex[self._prev_chan_c], neg)
+            bprop = jnp.where(has_prev, exh[self._prev_chan_c], -1)
 
             entry_c = jnp.where(self._is_entry, ent_c, prop)
             entry_b = jnp.where(self._is_entry, ebp_c, bprop)

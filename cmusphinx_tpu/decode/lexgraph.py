@@ -32,9 +32,13 @@ triphones) with a flat channel table designed for dense TPU evaluation:
 
 Senone lookup is factored through the **xs table**: a deduplicated list of
 "extended senone sequences" — per state, a set of senone ids whose per-frame
-score is the max over members (regular ssids are singleton sets).  The
-decoder computes ``xscores[n_xs, S]`` once per frame with one segment-max and
-channels gather from it by their (carried or static) xs row id.
+score is the max over members (regular ssids are singleton sets).  Rows are
+ordered singletons-first so the per-frame evaluation is two vectorized
+gathers and a concat — `[scores[sing_sen]; max_u scores[comp_mem]]` — with
+NO scatter/segment ops (TPU scatters serialize; gathers vectorize).  For the
+same reason within-word propagation is a per-channel `prev_chan` gather
+(every channel has in-degree <= 1 once word-begin channels are multiplexed),
+not an edge-list scatter-max.
 """
 
 from __future__ import annotations
@@ -57,11 +61,14 @@ class WordGraph:
     n_ci: int
     n_emit_state: int
     rc_mode: str               # "fanout" | "composite"
-    # xs (extended senone sequence) table: CSR over (row, state) -> members
+    # xs (extended senone sequence) table: rows [0, n_sing) are singletons
+    # (<=1 member per state), rows [n_sing, n_sing+n_comp) are composites.
     n_xs: int
-    xs_members: np.ndarray     # [M] senone ids, grouped by (row, state)
-    xs_seg: np.ndarray         # [M] segment id = row * S + state (sorted)
-    xs_valid: np.ndarray       # [n_xs, S] bool
+    n_sing: int
+    sing_sen: np.ndarray       # [n_sing, S] senone id (0 if invalid)
+    sing_valid: np.ndarray     # [n_sing, S] bool
+    comp_mem: np.ndarray       # [n_comp, S, U] member senones (padded by dup)
+    comp_valid: np.ndarray     # [n_comp, S] bool
     # per channel
     static_xs: np.ndarray      # [C] xs row used for non-entry activation
     tmat_idx: np.ndarray       # [C]
@@ -69,9 +76,8 @@ class WordGraph:
     is_entry: np.ndarray       # [C] bool (word-initial channel)
     lc_row: np.ndarray         # [C] row of lcmap for entry channels (0 else)
     lcmap: np.ndarray          # [n_lcrows, n_ci] -> xs row id
-    # within-word edges (src exit -> dst entry)
-    esrc: np.ndarray           # [Ne]
-    edst: np.ndarray           # [Ne]
+    # within-word propagation (in-degree <= 1: a gather, not an edge scatter)
+    prev_chan: np.ndarray      # [C] source channel feeding this one (-1 none)
     # word exits
     exit_tab: np.ndarray       # [W, n_rcvar] exit channel ids (-1 pad)
     rssid: np.ndarray          # [W, n_ci] -> variant column of exit_tab
@@ -118,18 +124,33 @@ class _XsTable:
         return self._intern(key)
 
     def arrays(self):
+        """Emit (perm, n_sing, sing_sen, sing_valid, comp_mem, comp_valid):
+        rows reordered singletons-first; perm maps old row id -> new."""
         S = self.S
-        members: List[int] = []
-        segs: List[int] = []
-        valid = np.zeros((len(self.rows), S), bool)
-        for r, row in enumerate(self.rows):
+        is_sing = [all(len(mem) <= 1 for mem in row) for row in self.rows]
+        order = ([r for r, s in enumerate(is_sing) if s]
+                 + [r for r, s in enumerate(is_sing) if not s])
+        perm = np.empty(len(self.rows), np.int32)
+        perm[order] = np.arange(len(self.rows), dtype=np.int32)
+        n_sing = sum(is_sing)
+        sing_sen = np.zeros((max(n_sing, 1), S), np.int32)
+        sing_valid = np.zeros((max(n_sing, 1), S), bool)
+        comps = [self.rows[r] for r in order[n_sing:]]
+        U = max((len(mem) for row in comps for mem in row), default=1)
+        comp_mem = np.zeros((max(len(comps), 1), S, U), np.int32)
+        comp_valid = np.zeros((max(len(comps), 1), S), bool)
+        for i, r in enumerate(order[:n_sing]):
+            for s, mem in enumerate(self.rows[r]):
+                if mem:
+                    sing_sen[i, s] = mem[0]
+                    sing_valid[i, s] = True
+        for i, row in enumerate(comps):
             for s, mem in enumerate(row):
                 if mem:
-                    valid[r, s] = True
-                    members.extend(mem)
-                    segs.extend([r * S + s] * len(mem))
-        return (np.asarray(members, np.int32), np.asarray(segs, np.int32),
-                valid)
+                    comp_mem[i, s, : len(mem)] = mem
+                    comp_mem[i, s, len(mem):] = mem[0]
+                    comp_valid[i, s] = True
+        return perm, n_sing, sing_sen, sing_valid, comp_mem, comp_valid
 
 
 def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
@@ -148,8 +169,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
     word_l: List[int] = []
     is_entry: List[bool] = []
     lc_row: List[int] = []
-    esrc: List[int] = []
-    edst: List[int] = []
+    prev_l: List[int] = []
     exit_lists: List[List[int]] = [[] for _ in range(W)]
     rssid = np.zeros((W, nci), np.int8)
     firstci = np.zeros(W, np.int32)
@@ -169,13 +189,14 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
         return r
 
     def add_chan(k: int, sxs: int, tmat: int, lcrow: int = 0,
-                 entry: bool = False) -> int:
+                 entry: bool = False, prev: int = -1) -> int:
         c = len(static_xs)
         static_xs.append(sxs)
         tmat_l.append(tmat)
         word_l.append(k)
         is_entry.append(entry)
         lc_row.append(lcrow)
+        prev_l.append(prev)
         return c
 
     # Shared-structure caches (keyed by phone context, not word).
@@ -238,10 +259,8 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
         for i in range(1, len(phones) - 1):
             p = pid(int(phones[i]), int(phones[i - 1]), int(phones[i + 1]),
                     WPOS_INTERNAL)
-            c = add_chan(k, xs.of_ssid(int(ssid_of[p])), int(tmat_of[p]))
-            esrc.append(prev)
-            edst.append(c)
-            prev = c
+            prev = add_chan(k, xs.of_ssid(int(ssid_of[p])), int(tmat_of[p]),
+                            prev=prev)
 
         e, pe = int(phones[-1]), int(phones[-2])
         info = end_cache.get((e, pe))
@@ -258,17 +277,11 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
             end_cache[(e, pe)] = info
         if info[0] == "c":
             _, sxs, tm = info
-            c = add_chan(k, sxs, tm)
-            esrc.append(prev)
-            edst.append(c)
-            exit_lists[k].append(c)
+            exit_lists[k].append(add_chan(k, sxs, tm, prev=prev))
         else:
             _, sxss, inv, tm = info
             for sxs in sxss:
-                c = add_chan(k, sxs, tm)
-                esrc.append(prev)
-                edst.append(c)
-                exit_lists[k].append(c)
+                exit_lists[k].append(add_chan(k, sxs, tm, prev=prev))
             rssid[k] = inv
 
     n_rcvar = max((len(e) for e in exit_lists), default=1)
@@ -276,19 +289,22 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
     for k, lst in enumerate(exit_lists):
         exit_tab[k, : len(lst)] = lst
 
-    members, segs, valid = xs.arrays()
+    perm, n_sing, sing_sen, sing_valid, comp_mem, comp_valid = xs.arrays()
+    lcmap = (perm[np.asarray(lc_rows, np.int32)] if lc_rows
+             else np.zeros((1, nci), np.int32))
     return WordGraph(
         n_chan=len(static_xs), n_word=W, n_ci=nci, n_emit_state=S,
         rc_mode=rc_mode,
-        n_xs=len(xs.rows), xs_members=members, xs_seg=segs, xs_valid=valid,
-        static_xs=np.asarray(static_xs, np.int32),
+        n_xs=len(xs.rows), n_sing=n_sing,
+        sing_sen=sing_sen, sing_valid=sing_valid,
+        comp_mem=comp_mem, comp_valid=comp_valid,
+        static_xs=perm[np.asarray(static_xs, np.int32)],
         tmat_idx=np.asarray(tmat_l, np.int32),
         word_of=np.asarray(word_l, np.int32),
         is_entry=np.asarray(is_entry, bool),
         lc_row=np.asarray(lc_row, np.int32),
-        lcmap=np.asarray(lc_rows, np.int32) if lc_rows
-        else np.zeros((1, nci), np.int32),
-        esrc=np.asarray(esrc, np.int32), edst=np.asarray(edst, np.int32),
+        lcmap=lcmap,
+        prev_chan=np.asarray(prev_l, np.int32),
         exit_tab=exit_tab, rssid=rssid, n_rcvar=n_rcvar,
         firstci=firstci, lastci=lastci,
     )

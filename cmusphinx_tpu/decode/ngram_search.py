@@ -43,7 +43,6 @@ from typing import List, Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.ops import segment_max
 
 from ..models.dict import Dictionary
 from ..models.dict2pid import Dict2Pid
@@ -153,9 +152,10 @@ class NgramSearch:
 
         # Device constants.
         self._tp = jnp.asarray(tmat.log_tp[g.tmat_idx])      # [C, S, S+1]
-        self._xs_members = jnp.asarray(g.xs_members)
-        self._xs_seg = jnp.asarray(g.xs_seg)
-        self._xs_valid = jnp.asarray(g.xs_valid)
+        self._sing_sen = jnp.asarray(g.sing_sen)
+        self._sing_valid = jnp.asarray(g.sing_valid)
+        self._comp_mem = jnp.asarray(g.comp_mem)
+        self._comp_valid = jnp.asarray(g.comp_valid)
         self._static_xs = jnp.asarray(g.static_xs)
         self._word_of = jnp.asarray(g.word_of)
         self._is_entry = jnp.asarray(g.is_entry)
@@ -164,9 +164,8 @@ class NgramSearch:
         self._exit_tab = jnp.asarray(g.exit_tab)
         self._exit_tab_c = jnp.asarray(np.maximum(g.exit_tab, 0))
         self._rssid = jnp.asarray(g.rssid.astype(np.int32))
-        self._esrc = jnp.asarray(g.esrc if len(g.esrc) else np.zeros(1, np.int32))
-        self._edst = jnp.asarray(g.edst if len(g.edst) else np.zeros(1, np.int32))
-        self._has_edges = len(g.esrc) > 0
+        self._prev_chan = jnp.asarray(g.prev_chan)
+        self._prev_chan_c = jnp.asarray(np.maximum(g.prev_chan, 0))
         self._firstci = jnp.asarray(g.firstci)
         self._lastci = jnp.asarray(g.lastci)
         self._lmwid = jnp.asarray(v.lmwid)
@@ -215,15 +214,17 @@ class NgramSearch:
             tw0, tsc0, tprev0, th20, th10, trc0 = tape0
             sen_t, t, valid = inputs
 
-            # Extended-senone-sequence scores: one segment-max per frame
-            # (composite triphones = max over members, lextree.c semantics;
-            # regular ssids are singleton segments).
-            xsflat = segment_max(sen_t[self._xs_members], self._xs_seg,
-                                 num_segments=g.n_xs * S,
-                                 indices_are_sorted=True)
-            xscores = jnp.where(self._xs_valid,
-                                xsflat.reshape(g.n_xs, S), neg)
-            sen_c = xscores[xsr0, jnp.arange(S)[None, :]]        # [C, S]
+            # Extended-senone-sequence scores: singleton rows are a direct
+            # gather; composite rows (ordered last) gather members and max
+            # (composite triphones, lextree.c semantics).  All vectorized
+            # gathers — no scatters (they serialize on TPU).
+            base = jnp.where(self._sing_valid, sen_t[self._sing_sen], neg)
+            comp = jnp.where(self._comp_valid,
+                             jnp.max(sen_t[self._comp_mem], axis=-1), neg)
+            xscores = jnp.concatenate(
+                [base[: g.n_sing], comp[: g.n_xs - g.n_sing]], axis=0)
+            sen_c = xscores.reshape(-1)[
+                xsr0 * S + jnp.arange(S, dtype=jnp.int32)[None, :]]  # [C, S]
 
             alpha, (hist, xsr), ex, (exh, _) = hmm_step(
                 alpha0, (hist0, xsr0), sen_c, self._tp)
@@ -278,9 +279,12 @@ class NgramSearch:
                               lw * lmw + log_wip)                # [E, W]
             # Acoustic part: the exiting word's rc variant serving THIS
             # word's initial CI phone (rssid readout; composite mode has a
-            # single variant so this is the composite exit score).
-            rcv = self._rssid[wsel][:, self._firstci]            # [E, W]
-            ac = jnp.take_along_axis(slot_rc, rcv, axis=1)       # [E, W]
+            # single variant so this is just the composite exit score).
+            if Vr == 1:
+                ac = slot_rc                                     # [E, 1]
+            else:
+                rcv = self._rssid[wsel][:, self._firstci]        # [E, W]
+                ac = jnp.take_along_axis(slot_rc, rcv, axis=1)   # [E, W]
             cand = jnp.where(ok[:, None], ac + bonus, neg)
             # Single best entry per word (word_transition semantics).
             ent_w = jnp.max(cand, axis=0)                        # [W]
@@ -292,18 +296,14 @@ class NgramSearch:
             # Entry channel routing: score + mpx xs row by left context.
             wo = self._word_of
             ent_c = jnp.where(self._is_entry, ent_w[wo], neg)
-            ent_xs_c = self._lcmap[self._lc_row, lcstar[wo]]
+            ent_xs_c = self._lcmap.reshape(-1)[
+                self._lc_row * g.n_ci + lcstar[wo]]
             ent_bp_c = ebp_w[wo]
 
-            # ---- within-word propagation over edges ----
-            prop = jnp.full((C,), neg)
-            bprop = jnp.full((C,), -1, jnp.int32)
-            if self._has_edges:
-                es = ex[self._esrc] + log_pip
-                prop = prop.at[self._edst].max(es)
-                win3 = es >= prop[self._edst]
-                bprop = bprop.at[self._edst].max(
-                    jnp.where(win3, exh[self._esrc], -1))
+            # ---- within-word propagation: in-degree <= 1 -> pure gather ----
+            has_prev = self._prev_chan >= 0
+            prop = jnp.where(has_prev, ex[self._prev_chan_c] + log_pip, neg)
+            bprop = jnp.where(has_prev, exh[self._prev_chan_c], -1)
 
             entry_c = jnp.where(self._is_entry, ent_c, prop)
             entry_b = jnp.where(self._is_entry, ent_bp_c, bprop)

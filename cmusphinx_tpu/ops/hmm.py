@@ -73,33 +73,43 @@ def hmm_step(alpha, payloads, sen, log_tp,
         exit_score = e_last
         exit_payloads = tuple(p[:, S - 1] for p in payloads)
 
-    # Candidate scores into each state j.
+    # Candidate scores into each state j.  Selection is a max/where chain,
+    # NOT argmax + take_along_axis: gathers serialize on the TPU while
+    # compares/selects ride the VPU at full width.  Tie order matches the
+    # reference (self loop, then j-1, then j-2 — hmm.c evaluates in that
+    # order and keeps the first max).
     d0 = _band(log_tp, 0)                      # [N, S] self loops
     c_self = s + d0
-    cands = [c_self]
-    srcs = [jnp.broadcast_to(jnp.arange(S), (N, S))]
-    if S >= 2:
-        d1 = _band(log_tp, 1)                  # [N, S-1] j -> j+1
-        c_prev = jnp.concatenate(
-            [jnp.full((N, 1), NEG_INF), s[:, :-1] + d1], axis=1)
-        cands.append(c_prev)
-        srcs.append(jnp.broadcast_to(jnp.arange(-1, S - 1), (N, S)))
+    if S == 1:
+        new_alpha = jnp.maximum(c_self, NEG_INF)
+        return (new_alpha, payloads, jnp.maximum(exit_score, NEG_INF),
+                exit_payloads)
+
+    d1 = _band(log_tp, 1)                      # [N, S-1] j -> j+1
+    c_prev = jnp.concatenate(
+        [jnp.full((N, 1), NEG_INF), s[:, :-1] + d1], axis=1)
+    p_prev = [jnp.concatenate([p[:, :1], p[:, :-1]], axis=1)
+              for p in payloads]
     if S >= 3:
         d2 = _band(log_tp, 2)                  # [N, S-2] j -> j+2
         c_skip = jnp.concatenate(
             [jnp.full((N, 2), NEG_INF), s[:, :-2] + d2], axis=1)
-        cands.append(c_skip)
-        srcs.append(jnp.broadcast_to(jnp.arange(-2, S - 2), (N, S)))
-
-    stacked = jnp.stack(cands)                 # [C, N, S]
-    best = jnp.argmax(stacked, axis=0)         # [N, S]; ties -> earlier (self first)
-    new_alpha = jnp.take_along_axis(stacked, best[None], axis=0)[0]
+        p_skip = [jnp.concatenate([p[:, :2], p[:, :-2]], axis=1)
+                  for p in payloads]
+        m12 = jnp.maximum(c_prev, c_skip)
+        new_alpha = jnp.maximum(c_self, m12)
+        sel_self = c_self >= m12
+        sel_prev = c_prev >= c_skip
+        new_payloads = tuple(
+            jnp.where(sel_self, p,
+                      jnp.where(sel_prev, pp, ps))
+            for p, pp, ps in zip(payloads, p_prev, p_skip))
+    else:
+        new_alpha = jnp.maximum(c_self, c_prev)
+        sel_self = c_self >= c_prev
+        new_payloads = tuple(
+            jnp.where(sel_self, p, pp) for p, pp in zip(payloads, p_prev))
     new_alpha = jnp.maximum(new_alpha, NEG_INF)
-
-    src_state = jnp.take_along_axis(jnp.stack(srcs), best[None], axis=0)[0]
-    src_state = jnp.maximum(src_state, 0)      # clamp (masked by NEG_INF anyway)
-    new_payloads = tuple(
-        jnp.take_along_axis(p, src_state, axis=1) for p in payloads)
 
     exit_score = jnp.maximum(exit_score, NEG_INF)
     return new_alpha, new_payloads, exit_score, exit_payloads
