@@ -121,6 +121,34 @@ def main(argv=None) -> int:
         fsg = FsgModel.read(kv["i"])
         write_fsg_fst(fsg, kv["o"], symfile=kv.get("syms"))
         print(f"{kv['i']} -> {kv['o']} (ATT FSM)")
+    elif cmd in ("dag", "astar", "conf"):
+        # Offline lattice rescoring tools (sphinx3_dag / sphinx3_astar /
+        # sphinx3_conf capability; sphinx3 dag.c:1466, astar.c, conf):
+        #   dag   -lat F -lm LM [-lw W] [-wip P]       -> bestpath hyp
+        #   astar -lat F -lm LM [-n N]                 -> N-best list
+        #   conf  -lat F -lm LM [-ascale A]            -> word confidences
+        import math as _m
+        from ..decode.lattice import read_lattice
+        from ..models.ngram import NgramModel
+        lm = NgramModel.read(kv["lm"])
+        lw = float(kv.get("lw", 9.5))
+        lat = read_lattice(kv["lat"], lm, lw=lw,
+                           log_wip=_m.log(float(kv.get("wip", 0.65))))
+        start = lm.word_id("<s>")
+        if cmd == "dag":
+            hyp = lat.bestpath(lw=lw, start_lmwid=start)
+            print(f"BSTPTH: {hyp.text}")
+            print(f"BSTXCT: {hyp.score:.2f}")
+        elif cmd == "astar":
+            for h in lat.nbest(int(kv.get("n", 10)), lw=lw,
+                               start_lmwid=start):
+                print(f"{h.text} ({h.score:.2f})")
+        else:
+            hyp = lat.bestpath(lw=lw, start_lmwid=start)
+            confs = lat.word_confidence(hyp.segments,
+                                        ascale=1.0 / float(kv.get("ascale", 20)))
+            for word, sf, ef, lp in confs:
+                print(f"{word} {sf} {ef} {lp:.4f}")
     else:
         print(__doc__)
         return 1

@@ -63,7 +63,8 @@ class Lattice:
     def __init__(self, nodes: List[LatNode], firstci: np.ndarray,
                  lastci: np.ndarray, lm, lw: float, log_wip: float,
                  sil_ci: int, finish_lmwid: int, T: int,
-                 logbase: float = 1.0001):
+                 logbase: float = 1.0001,
+                 explicit_edges: Optional[Dict[Tuple[int, int], float]] = None):
         self.nodes = nodes
         self.firstci = firstci
         self.lastci = lastci
@@ -74,7 +75,21 @@ class Lattice:
         self.finish_lmwid = finish_lmwid
         self.n_frames = T
         self.logbase = logbase
-        self._index_edges()
+        # Lattices read back from disk carry explicit per-link acoustic
+        # scores (ps_lattice.c:409 read path) instead of per-node rc stacks.
+        self._explicit = explicit_edges
+        if explicit_edges is None:
+            self._index_edges()
+        else:
+            for n in self.nodes:
+                n.preds, n.succs = [], []
+            for (i, j) in explicit_edges:
+                self.nodes[i].succs.append(j)
+                self.nodes[j].preds.append(i)
+            maxef = max((n.ef for n in self.nodes), default=-1)
+            self._starts = [n.id for n in self.nodes if not n.preds]
+            self._ends = [n.id for n in self.nodes
+                          if not n.succs and n.ef == maxef]
 
     def _index_edges(self):
         # A final node must cover the end of the utterance; mid-utterance
@@ -119,8 +134,20 @@ class Lattice:
             s = src.vit_score
         return s - src.entry_score
 
+    def edge_ascr(self, src: LatNode, dst: LatNode) -> float:
+        """Acoustic score on the link src -> dst: the stored value for
+        lattices read from disk, else the rc-stack readout."""
+        if self._explicit is not None:
+            return self._explicit.get((src.id, dst.id), NEG)
+        return self.link_ascr(src, self.firstci[dst.kidx])
+
     def final_ascr(self, src: LatNode) -> float:
         """Acoustic score of src as the utterance-final word (rc = SIL)."""
+        if self._explicit is not None:
+            # The file format carries acoustics on links only; the final
+            # node's own segment score is folded into its incoming links
+            # (dag.c semantics).
+            return 0.0
         s = float(src.rc_score[self.sil_ci])
         if s <= NEG / 2:
             s = src.vit_score
@@ -148,7 +175,7 @@ class Lattice:
         this Python implementation is the reference/fallback.
         """
         lw = self.lw if lw is None else lw
-        if _native is not None:
+        if _native is not None and self._explicit is None:
             r = _native.lattice_bestpath(self, lw, start_lmwid)
             if r is not None:
                 ids, score = r
@@ -180,7 +207,7 @@ class Lattice:
                 _, h1, h2 = key
                 for j in n.succs:
                     m = self.nodes[j]
-                    ascr = self.link_ascr(n, self.firstci[m.kidx])
+                    ascr = self.edge_ascr(n, m)
                     t = self._lm_term(h1, h2, m, lw)
                     nh = self._next_hist(h1, h2, m)
                     nkey = (j, nh[0], nh[1])
@@ -225,7 +252,7 @@ class Lattice:
         (ps_lattice_posterior capability).  ascale scales acoustic scores
         (reference -ascale, default 20 -> 1/20).  Native-accelerated
         (csrc/sphinx_runtime.cc lattice_posterior) when built."""
-        if _native is not None and self.nodes:
+        if _native is not None and self.nodes and self._explicit is None:
             p = _native.lattice_posterior(self, ascale)
             if p is not None:
                 return p
@@ -243,7 +270,7 @@ class Lattice:
                 continue
             for j in n.succs:
                 m = self.nodes[j]
-                w = ascale * (self.link_ascr(n, self.firstci[m.kidx])
+                w = ascale * (self.edge_ascr(n, m)
                               + self._lm_term(-1, n.lmwid, m, self.lw))
                 alpha[j] = np.logaddexp(alpha[j], alpha[i] + w)
         for i in self._ends:
@@ -252,7 +279,7 @@ class Lattice:
             n = self.nodes[i]
             for j in n.succs:
                 m = self.nodes[j]
-                w = ascale * (self.link_ascr(n, self.firstci[m.kidx])
+                w = ascale * (self.edge_ascr(n, m)
                               + self._lm_term(-1, n.lmwid, m, self.lw))
                 if np.isfinite(beta[j]):
                     beta[i] = np.logaddexp(beta[i], beta[j] + w)
@@ -275,7 +302,7 @@ class Lattice:
         Native-accelerated (csrc/sphinx_runtime.cc lattice_nbest) when
         built; paths are de-duplicated by word sequence here."""
         lw = self.lw if lw is None else lw
-        if _native is not None and self.nodes:
+        if _native is not None and self.nodes and self._explicit is None:
             # Retry with a larger over-request when de-duplication exhausts
             # the batch while the C side may still hold more distinct paths
             # (parity with the Python fallback, which pops until n texts).
@@ -318,7 +345,7 @@ class Lattice:
                 m = self.nodes[j]
                 if not np.isfinite(h[j]):
                     continue
-                s = (self.link_ascr(node, self.firstci[m.kidx])
+                s = (self.edge_ascr(node, m)
                      + self._lm_term(-1, node.lmwid, m, lw) + h[j])
                 h[i] = max(h[i], s)
         # A* over (partial path ending at node, history).
@@ -363,7 +390,7 @@ class Lattice:
                 continue
             for j in node.succs:
                 m = self.nodes[j]
-                g2 = (g + self.link_ascr(node, self.firstci[m.kidx])
+                g2 = (g + self.edge_ascr(node, m)
                       + self._lm_term(hist[0], hist[1], m, lw))
                 hist2 = self._next_hist(hist[0], hist[1], m)
                 heapq.heappush(heap, (-(g2 + h[j]), cnt, j, g2, hist2, pid))
@@ -425,6 +452,29 @@ class Lattice:
         return Hypothesis(words, 0.0, [])
 
     # ------------------------------------------------------------------
+    def word_confidence(self, segments, ascale: float = 0.05):
+        """Backoff-LM word-posterior confidence (sphinx3
+        libconfidence/confidence.c:1290 pwp / :1444 confidence_word_posterior
+        capability): for each hypothesis segment, the posterior mass of the
+        best time-overlapping lattice node with the same word, under the
+        LM-weighted forward-backward.  Returns [(word, sf, ef, log_post)].
+        """
+        post = self.posterior(ascale)
+        out = []
+        for seg in segments:
+            best = NEG
+            for n in self.nodes:
+                if n.word.lower() != seg.word.lower():
+                    continue
+                if n.ef < seg.start_frame or n.sf > seg.end_frame:
+                    continue
+                if np.isfinite(post[n.id]):
+                    best = max(best, float(post[n.id]))
+            out.append((seg.word, seg.start_frame, seg.end_frame,
+                        min(best, 0.0)))
+        return out
+
+    # ------------------------------------------------------------------
     def write(self, path: str, uttid: str = "utt") -> None:
         """Sphinx lattice text format (ps_lattice.c:232-370)."""
         lb = math.log(self.logbase)
@@ -442,7 +492,7 @@ class Lattice:
             links = [(n.id, j) for n in self.nodes for j in n.succs]
             fh.write(f"Edges (FROM-NODEID TO-NODEID ASCORE)\n")
             for i, j in links:
-                a = self.link_ascr(self.nodes[i], self.firstci[self.nodes[j].kidx])
+                a = self.edge_ascr(self.nodes[i], self.nodes[j])
                 fh.write(f"{i} {j} {int(a / lb)}\n")
             fh.write("End\n")
 
@@ -457,5 +507,69 @@ class Lattice:
                 fh.write(f"I={n.id}\tt={n.sf / 100.0:.2f}\tW={n.word}\t"
                          f"v={n.vit_score:.2f}\n")
             for k, (i, j) in enumerate(links):
-                a = self.link_ascr(self.nodes[i], self.firstci[self.nodes[j].kidx])
+                a = self.edge_ascr(self.nodes[i], self.nodes[j])
                 fh.write(f"J={k}\tS={i}\tE={j}\ta={a:.2f}\tl=0.0\n")
+
+
+def read_lattice(path: str, lm, lw: float = 6.5, log_wip: float = -0.43,
+                 silprob: float = 0.005, fillprob: float = 1e-8,
+                 finish_word: str = "</s>") -> "Lattice":
+    """Read a Sphinx text lattice back for offline rescoring
+    (ps_lattice.c:409 ps_lattice_read; sphinx3 dag.c:1466 dag_load
+    capability).  Edge acoustic scores come from the file (in logbase
+    units); LM ids/fillers are resolved against `lm`:
+
+    - words found in `lm` score with the trigram backoff chain;
+    - `<sil>`, `<s>`, `</s>` and `++noise++`-style words are fillers with
+      silence/filler penalties (ngram_search.c:645-650 semantics).
+    """
+    import math as _m
+    nodes: List[LatNode] = []
+    edges: Dict[Tuple[int, int], float] = {}
+    logbase = 1.0001
+    n_frames = 0
+    silpen = _m.log(silprob)
+    fillpen = _m.log(fillprob)
+    finish_lmwid = lm.word_id(finish_word) if lm is not None else -1
+    state = ""
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith("#"):
+                if line.startswith("# -logbase"):
+                    logbase = float(line.split()[-1])
+                continue
+            p = line.split()
+            if p[0] == "Frames":
+                n_frames = int(p[1])
+            elif p[0] == "Nodes":
+                state = "nodes"
+            elif p[0] == "Initial" or p[0] == "Final":
+                state = ""
+            elif p[0] == "Edges":
+                state = "edges"
+            elif p[0] == "End":
+                break
+            elif state == "nodes":
+                nid, word, sf, fef, lef = (int(p[0]), p[1], int(p[2]),
+                                           int(p[3]), int(p[4]))
+                lmwid = lm.word_id(word) if lm is not None else -1
+                is_fil = (word in ("<sil>", "<s>", "</s>")
+                          or word.startswith("++")) or lmwid < 0
+                fp = silpen if word in ("<sil>", "<s>", "</s>") else fillpen
+                while len(nodes) <= nid:
+                    nodes.append(None)  # type: ignore
+                nodes[nid] = LatNode(
+                    id=nid, word=word, kidx=nid, lmwid=lmwid,
+                    is_filler=bool(is_fil), fil_pen=fp, sf=sf, ef=lef,
+                    vit_score=0.0, rc_score=np.zeros(1), entry_score=0.0)
+            elif state == "edges":
+                edges[(int(p[0]), int(p[1]))] = float(p[2]) * _m.log(logbase)
+    assert all(n is not None for n in nodes), f"missing node ids in {path}"
+    sil_ci = 0
+    return Lattice(nodes, np.zeros(len(nodes), np.int32),
+                   np.zeros(len(nodes), np.int32), lm, lw, log_wip, sil_ci,
+                   finish_lmwid, n_frames, logbase=logbase,
+                   explicit_edges=edges)

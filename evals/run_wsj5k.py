@@ -147,11 +147,13 @@ def main():
                          lw=7.5, wip=0.5, beam=1e-60, wbeam=1e-40,
                          maxwpf=args.maxwpf)
     gr = search.graph
-    print(f"graph[{gr.rc_mode}]: {gr.n_chan} channels, {gr.n_xs} xs rows, "
-          f"{len(gr.xs_members)} members, {gr.n_rcvar} rc variants, "
+    print(f"graph[{gr.rc_mode}]: {gr.n_chan} channels, {gr.n_xs} xs rows "
+          f"({gr.n_sing} singleton + {gr.n_xs - gr.n_sing} composite, "
+          f"U={gr.comp_mem.shape[-1]}), {gr.n_rcvar} rc variants, "
           f"lcmap {gr.lcmap.shape}  ({time.time()-t0:.1f}s)", flush=True)
     const_mb = (gr.n_chan * gr.n_emit_state * (gr.n_emit_state + 1) * 4
-                + len(gr.xs_members) * 8 + gr.lcmap.nbytes) / 1e6
+                + gr.sing_sen.nbytes + gr.comp_mem.nbytes
+                + gr.lcmap.nbytes) / 1e6
     carry_mb = gr.n_chan * gr.n_emit_state * 12 / 1e6
     print(f"device tables ~{const_mb:.0f} MB, scan carry ~{carry_mb:.0f} MB "
           f"(linear in vocab: 60k words ~ {12 * const_mb:.0f} MB tables)")
