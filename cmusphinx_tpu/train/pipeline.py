@@ -302,9 +302,18 @@ def train_full_pipeline(model: FlatModel, pron: Dict[str, List[str]],
                         ci_iters: int = 12, cd_iters: int = 8,
                         tied_iters: int = 8,
                         max_senones_per_group: int = 4,
+                        tying: str = "agglom",
+                        n_tied_senones: int = 0,
                         verbose: bool = False):
     """The 20.ci_hmm -> 30.cd_hmm_untied -> tie -> 50.cd_hmm_tied ->
-    split-to-N stages.  Returns (inv, smap, tied params, history dict)."""
+    split-to-N stages.  Returns (inv, smap, tied params, history dict).
+
+    tying="dtree" uses linguistic-question decision trees
+    (40.buildtrees/45.prunetree/tiestate capability, train/dtree.py) with a
+    global senone budget `n_tied_senones`; the resulting SenoneForest is
+    attached as `inv.forest` so unseen triphones can be assigned senones.
+    tying="agglom" is occupancy-weighted agglomerative merging (seen
+    triphones only)."""
     from .sentence_hmm import build_sentence_hmm
     from .trainer import flat_start
 
@@ -331,8 +340,16 @@ def train_full_pipeline(model: FlatModel, pron: Dict[str, List[str]],
               f"ll {hist['cd_untied'][-1]:.3f}")
 
     # Stage 3: tie states, remap, retrain.
-    smap, tied = tie_states(inv, cd, occ,
-                            max_senones_per_group=max_senones_per_group)
+    if tying == "dtree":
+        from .dtree import tie_states_dtree
+        budget = n_tied_senones or (model.n_sen
+                                    + max_senones_per_group * model.n_sen)
+        smap, tied, forest = tie_states_dtree(
+            inv, cd, occ, total_leaves=budget - model.n_sen)
+        inv.forest = forest
+    else:
+        smap, tied = tie_states(inv, cd, occ,
+                                max_senones_per_group=max_senones_per_group)
     tied_batch = pack_batch(hmms, feats)
     tied_batch.state_sen = smap[tied_batch.state_sen].astype(np.int32)
     tied, _, hist["tied"] = em_loop(tied_batch, tied, tied_iters,
