@@ -147,6 +147,7 @@ class Decoder:
         self._raw_chunks: List[np.ndarray] = []
         self._hyp: Optional[Hypothesis] = None
         self._in_utt = False
+        self._stream = None
 
     # ------------------------------------------------------------------
     def _init_scorer(self, cfg, gauden, model_file):
@@ -180,27 +181,113 @@ class Decoder:
 
     # ------------------------------------------------------------------
     # Utterance API (ps_start_utt / ps_process_raw / ps_end_utt).
-    def start_utt(self) -> None:
+    def start_utt(self, streaming: bool = False) -> None:
+        """Begin an utterance.  With streaming=True the decoder advances
+        incrementally on every process_raw/process_cep call — the Viterbi
+        carry stays device-resident between chunks (the reference's
+        per-frame ps_search_forward loop, pocketsphinx.c:699-719) and
+        `hyp()` returns PARTIAL hypotheses mid-utterance (gst plugin
+        partial-result capability).  Streaming uses prior-mode CMN
+        (cmn_prior.c live semantics) since batch CMN needs the whole
+        utterance."""
         if self._in_utt:
             raise RuntimeError("utterance already started")
         self._raw_chunks = []
         self._hyp = None
         self._in_utt = True
+        self._stream = None
+        if streaming:
+            if not isinstance(self.search, NgramSearch):
+                raise ValueError("streaming decode requires an N-gram search")
+            self._stream = self.search.stream_start()
+            self._samp_carry = np.zeros(0, np.float32)
+            self._cep_buf = np.zeros((0, 0), np.float32)
+            self._cep_done = 0  # cep frames already emitted as features
+            nc = self.fp.cepsize
+            self._cmn_sum = np.zeros(nc, np.float64)
+            self._cmn_n = 0
+            self._cmn_mean = np.asarray(self.fp._cmn_mean, np.float32).copy()
+
+    def _stream_feats(self, cep: np.ndarray, endutt: bool) -> None:
+        """Emit dynamic-feature frames whose delta context is complete.
+
+        New cepstra are normalized on arrival with prior-mode CMN
+        (cmn_prior.c: subtract the running mean, update it from the
+        accumulated raw sum) and appended to a context buffer; dynamic
+        features are computed over [done-win, avail+win) so every emitted
+        frame has its full delta window — replicate padding only ever
+        applies at true utterance boundaries.
+        """
+        fp = self.fp
+        if cep.size and fp.cmn_type != "none":
+            self._cmn_sum += cep.sum(axis=0)
+            self._cmn_n += cep.shape[0]
+            cep = cep - self._cmn_mean
+            if self._cmn_n > 800:  # CMN_WIN_HWM (cmn_prior.c)
+                self._cmn_mean = (self._cmn_sum / self._cmn_n
+                                  ).astype(np.float32)
+                self._cmn_sum *= 500.0 / self._cmn_n
+                self._cmn_n = 500
+        if cep.size:
+            self._cep_buf = (cep if self._cep_buf.size == 0
+                             else np.concatenate([self._cep_buf, cep]))
+        win = max(fp.window, 1)
+        total = self._cep_buf.shape[0]
+        avail = total if endutt else max(total - win, self._cep_done)
+        if avail <= self._cep_done:
+            return
+        lo = max(self._cep_done - win, 0)
+        block = self._cep_buf[lo: total if endutt else avail + win]
+        feats = np.asarray(fp._dynamic(np.asarray(block, np.float32)))
+        if fp.lda is not None:
+            feats = feats @ fp.lda[: fp.out_dim].T
+        out = feats[self._cep_done - lo: avail - lo]
+        self._cep_done = avail
+        if out.shape[0]:
+            self.search.stream_push(self._stream, out)
 
     def process_raw(self, data: np.ndarray) -> None:
         if not self._in_utt:
             raise RuntimeError("call start_utt first")
-        self._raw_chunks.append(np.asarray(data, np.float32).ravel())
+        data = np.asarray(data, np.float32).ravel()
+        if self._stream is None:
+            self._raw_chunks.append(data)
+            return
+        buf = np.concatenate([self._samp_carry, data])
+        cep = np.asarray(self.fe.process(buf, include_tail=False))
+        if cep.shape[0]:
+            shift = self.fe.frame_shift
+            self._samp_carry = buf[cep.shape[0] * shift:]
+            self._stream_feats(cep, endutt=False)
+        else:
+            self._samp_carry = buf
 
     def process_cep(self, cep: np.ndarray) -> None:
         if not self._in_utt:
             raise RuntimeError("call start_utt first")
-        self._raw_chunks.append(("cep", np.asarray(cep, np.float32)))
+        cep = np.asarray(cep, np.float32)
+        if self._stream is None:
+            self._raw_chunks.append(("cep", cep))
+        else:
+            self._stream_feats(cep, endutt=False)
 
     def end_utt(self) -> Hypothesis:
         if not self._in_utt:
             raise RuntimeError("no utterance in progress")
         self._in_utt = False
+        if self._stream is not None:
+            tail = None
+            if self._samp_carry.size:
+                tail = np.asarray(self.fe.process(self._samp_carry))
+            if tail is not None and tail.shape[0]:
+                self._stream_feats(tail, endutt=True)
+            elif self._cep_done < self._cep_buf.shape[0]:
+                self._stream_feats(
+                    np.zeros((0, self._cep_buf.shape[1]), np.float32),
+                    endutt=True)
+            self._hyp = self.search.stream_end(self._stream)
+            self._stream = None
+            return self._hyp
         ceps = []
         raws = [c for c in self._raw_chunks if not isinstance(c, tuple)]
         if raws:
@@ -231,6 +318,10 @@ class Decoder:
 
     # Results (ps_get_hyp / ps_seg / ps_nbest / ps_get_lattice / ps_get_prob).
     def hyp(self) -> Optional[Hypothesis]:
+        """Current hypothesis: PARTIAL while a streaming utterance is in
+        progress (ps_get_hyp mid-utterance), final after end_utt."""
+        if self._in_utt and self._stream is not None:
+            return self.search.stream_partial(self._stream)
         return self._hyp
 
     def seg(self) -> List[Segment]:

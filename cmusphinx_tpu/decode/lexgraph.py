@@ -76,6 +76,7 @@ class WordGraph:
     is_entry: np.ndarray       # [C] bool (word-initial channel)
     lc_row: np.ndarray         # [C] row of lcmap for entry channels (0 else)
     lcmap: np.ndarray          # [n_lcrows, n_ci] -> xs row id
+    ci_of: np.ndarray          # [C] base CI phone of the channel's phone
     # within-word propagation (in-degree <= 1: a gather, not an edge scatter)
     prev_chan: np.ndarray      # [C] source channel feeding this one (-1 none)
     # word exits
@@ -170,6 +171,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
     is_entry: List[bool] = []
     lc_row: List[int] = []
     prev_l: List[int] = []
+    ci_of: List[int] = []
     exit_lists: List[List[int]] = [[] for _ in range(W)]
     rssid = np.zeros((W, nci), np.int8)
     firstci = np.zeros(W, np.int32)
@@ -189,7 +191,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
         return r
 
     def add_chan(k: int, sxs: int, tmat: int, lcrow: int = 0,
-                 entry: bool = False, prev: int = -1) -> int:
+                 entry: bool = False, prev: int = -1, base: int = 0) -> int:
         c = len(static_xs)
         static_xs.append(sxs)
         tmat_l.append(tmat)
@@ -197,6 +199,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
         is_entry.append(entry)
         lc_row.append(lcrow)
         prev_l.append(prev)
+        ci_of.append(base)
         return c
 
     # Shared-structure caches (keyed by phone context, not word).
@@ -234,12 +237,12 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
                 single_cache[b] = info
             if info[0] == "c":
                 _, lcrow, sxs, tm = info
-                c = add_chan(k, sxs, tm, lcrow, entry=True)
+                c = add_chan(k, sxs, tm, lcrow, entry=True, base=b)
                 exit_lists[k].append(c)
             else:
                 _, rows, inv, tm = info
                 for lcrow, sxs in rows:
-                    c = add_chan(k, sxs, tm, lcrow, entry=True)
+                    c = add_chan(k, sxs, tm, lcrow, entry=True, base=b)
                     exit_lists[k].append(c)
                 rssid[k] = inv
             continue
@@ -254,13 +257,13 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
                     int(tmat_of[tab[d2p.sil]]))
             begin_cache[(b, r)] = info
         lcrow, sxs0, tm0 = info
-        prev = add_chan(k, sxs0, tm0, lcrow, entry=True)
+        prev = add_chan(k, sxs0, tm0, lcrow, entry=True, base=b)
 
         for i in range(1, len(phones) - 1):
             p = pid(int(phones[i]), int(phones[i - 1]), int(phones[i + 1]),
                     WPOS_INTERNAL)
             prev = add_chan(k, xs.of_ssid(int(ssid_of[p])), int(tmat_of[p]),
-                            prev=prev)
+                            prev=prev, base=int(phones[i]))
 
         e, pe = int(phones[-1]), int(phones[-2])
         info = end_cache.get((e, pe))
@@ -277,11 +280,11 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
             end_cache[(e, pe)] = info
         if info[0] == "c":
             _, sxs, tm = info
-            exit_lists[k].append(add_chan(k, sxs, tm, prev=prev))
+            exit_lists[k].append(add_chan(k, sxs, tm, prev=prev, base=e))
         else:
             _, sxss, inv, tm = info
             for sxs in sxss:
-                exit_lists[k].append(add_chan(k, sxs, tm, prev=prev))
+                exit_lists[k].append(add_chan(k, sxs, tm, prev=prev, base=e))
             rssid[k] = inv
 
     n_rcvar = max((len(e) for e in exit_lists), default=1)
@@ -305,6 +308,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
         lc_row=np.asarray(lc_row, np.int32),
         lcmap=lcmap,
         prev_chan=np.asarray(prev_l, np.int32),
+        ci_of=np.asarray(ci_of, np.int32),
         exit_tab=exit_tab, rssid=rssid, n_rcvar=n_rcvar,
         firstci=firstci, lastci=lastci,
     )

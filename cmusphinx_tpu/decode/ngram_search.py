@@ -64,6 +64,12 @@ NGRAM_ARGS = [
     Arg("beam", float, 1e-48, "Beam width applied to every frame in Viterbi search"),
     Arg("wbeam", float, 7e-29, "Beam width applied to word exits"),
     Arg("maxwpf", int, 32, "Maximum distinct word exits recorded per frame"),
+    Arg("pl_window", int, 0,
+        "Phone-loop lookahead window in frames (0 = off).  When set, a "
+        "CI-phone loop evaluated over the next pl_window frames tightens "
+        "the channel beam (phone_loop_search capability consulted by the "
+        "main search, ngram_search_fwdtree.c:1390-1420)"),
+    Arg("pl_weight", float, 3.0, "Weight on phone-loop lookahead penalties"),
     Arg("rcmode", str, "auto",
         "Cross-word right-context handling: 'fanout' (exact per-context "
         "word-final channels, pocketsphinx alloc_all_rc) or 'composite' "
@@ -166,6 +172,14 @@ class NgramSearch:
         self._rssid = jnp.asarray(g.rssid.astype(np.int32))
         self._prev_chan = jnp.asarray(g.prev_chan)
         self._prev_chan_c = jnp.asarray(np.maximum(g.prev_chan, 0))
+        self._ci_of = jnp.asarray(g.ci_of)
+        # Phone-loop lookahead tables: each CI phone's senone row.
+        self.pl_window = int(cfg["pl_window"])
+        self.pl_weight = float(cfg["pl_weight"])
+        ci_sen = mdef.sseq[mdef.phone_ssid[: mdef.n_ciphone]].astype(np.int64)
+        bad = int(np.int32(np.uint16(0xFFFF)))
+        self._ci_sen = jnp.asarray(np.where(ci_sen == bad, 0, ci_sen))
+        self._ci_sen_valid = jnp.asarray(ci_sen != bad)
         self._firstci = jnp.asarray(g.firstci)
         self._lastci = jnp.asarray(g.lastci)
         self._lmwid = jnp.asarray(v.lmwid)
@@ -212,7 +226,7 @@ class NgramSearch:
         def step(carry, inputs):
             alpha0, hist0, xsr0, tape0 = carry
             tw0, tsc0, tprev0, th20, th10, trc0 = tape0
-            sen_t, t, valid = inputs
+            sen_t, la_t, t, valid = inputs
 
             # Extended-senone-sequence scores: singleton rows are a direct
             # gather; composite rows (ordered last) gather members and max
@@ -231,9 +245,15 @@ class NgramSearch:
 
             if self.prune:
                 # Channel beam + word-exit beam relative to the frame best
-                # (prune_channels / save_bp threshold semantics).
+                # (prune_channels / save_bp threshold semantics); with
+                # lookahead, channels whose phone is unsupported by the
+                # next pl_window frames' CI phone loop are penalized into
+                # the beam (phone_loop_search_score consultation).
                 bestscr = jnp.max(alpha)
-                keep = jnp.max(alpha, axis=1) > bestscr + jnp.float32(self.log_beam)
+                amax = jnp.max(alpha, axis=1)
+                if self.pl_window:
+                    amax = amax + la_t[self._ci_of]
+                keep = amax > bestscr + jnp.float32(self.log_beam)
                 alpha = jnp.where(keep[:, None], alpha, neg)
                 ex = jnp.where(ex > bestscr + jnp.float32(self.log_wbeam), ex, neg)
 
@@ -328,6 +348,18 @@ class NgramSearch:
         g, E = self.graph, self.E
         Tpad = feats.shape[0]
         scores = self.scorer.score(feats)                        # [Tpad, n_sen]
+        if self.pl_window:
+            # CI phone-loop lookahead: best per-phone frame score relative
+            # to the frame best, maxed over the next pl_window frames.
+            cis = jnp.where(self._ci_sen_valid[None],
+                            scores[:, self._ci_sen],
+                            jnp.float32(NEG_INF)).max(-1)        # [T, nci]
+            rel = cis - jnp.max(cis, axis=1, keepdims=True)
+            shifts = [jnp.concatenate([rel[dt:], jnp.repeat(rel[-1:], dt, 0)])
+                      for dt in range(self.pl_window)]
+            la = jnp.float32(self.pl_weight) * jnp.stack(shifts).max(0)
+        else:
+            la = jnp.zeros((Tpad, 1), jnp.float32)
         alpha = jnp.full((g.n_chan, g.n_emit_state), NEG_INF)
         hist = jnp.full((g.n_chan, g.n_emit_state), -1, jnp.int32)
         xsr = jnp.broadcast_to(self._static_xs[:, None],
@@ -342,8 +374,94 @@ class NgramSearch:
                 jnp.full((B, g.n_rcvar), NEG_INF))
         (alpha, hist, xsr, tape), _ = jax.lax.scan(
             self._step_fn, (alpha, hist, xsr, tape),
-            (scores, jnp.arange(Tpad, dtype=jnp.int32), valid))
+            (scores, la, jnp.arange(Tpad, dtype=jnp.int32), valid))
         return tape
+
+    # ------------------------------------------------------------------
+    # Streaming decode: the scan carry lives on device BETWEEN chunks, so
+    # audio can be decoded as it arrives with partial hypotheses at any
+    # point (ps_process_raw incremental loop, pocketsphinx.c:699-719, and
+    # the gst plugin's partial results).
+    CHUNK = 50
+
+    def stream_start(self, max_frames: int = 3000) -> dict:
+        """Begin a streaming utterance; returns the device-resident state."""
+        g, E = self.graph, self.E
+        alpha = jnp.full((g.n_chan, g.n_emit_state), NEG_INF)
+        hist = jnp.full((g.n_chan, g.n_emit_state), -1, jnp.int32)
+        xsr = jnp.broadcast_to(self._static_xs[:, None],
+                               (g.n_chan, g.n_emit_state)).astype(jnp.int32)
+        alpha, (hist, xsr) = hmm_enter(
+            alpha, (hist, xsr), self._entc0,
+            (jnp.full((g.n_chan,), -1, jnp.int32), self._entxs0))
+        B = max_frames * E
+        tape = (jnp.full((B,), -1, jnp.int32), jnp.full((B,), NEG_INF),
+                jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
+                jnp.full((B,), -1, jnp.int32),
+                jnp.full((B, g.n_rcvar), NEG_INF))
+        if not hasattr(self, "_chunk_fn"):
+            def chunk(carry, scores, t0, valid):
+                ts = t0 + jnp.arange(self.CHUNK, dtype=jnp.int32)
+                la = jnp.zeros((self.CHUNK, 1), jnp.float32)
+                carry, _ = jax.lax.scan(self._step_fn, carry,
+                                        (scores, la, ts, valid))
+                return carry
+            self._chunk_fn = jax.jit(chunk)
+        return {"carry": (alpha, hist, xsr, tape), "t": 0,
+                "max_frames": max_frames,
+                "pending": np.zeros((0, 0), np.float32)}
+
+    def stream_push(self, state: dict, feats: np.ndarray) -> dict:
+        """Feed feature frames; full CHUNK quanta are decoded on device,
+        the remainder is buffered until the next push or stream_end."""
+        feats = np.asarray(feats, np.float32)
+        pend = state["pending"]
+        buf = feats if pend.size == 0 else np.concatenate([pend, feats])
+        n = buf.shape[0]
+        k = n // self.CHUNK
+        for i in range(k):
+            chunk = buf[i * self.CHUNK : (i + 1) * self.CHUNK]
+            if state["t"] + self.CHUNK > state["max_frames"]:
+                raise ValueError("stream exceeds max_frames")
+            scores = self.scorer.score(jnp.asarray(chunk))
+            state["carry"] = self._chunk_fn(
+                state["carry"], scores, jnp.int32(state["t"]),
+                jnp.ones((self.CHUNK,), bool))
+            state["t"] += self.CHUNK
+        state["pending"] = buf[k * self.CHUNK :]
+        return state
+
+    def _stream_flush(self, state: dict) -> int:
+        """Decode the buffered remainder (padded, masked).  Returns the
+        total number of REAL frames decoded."""
+        pend = state["pending"]
+        n = pend.shape[0]
+        if n:
+            pad = np.zeros((self.CHUNK, pend.shape[1]), np.float32)
+            pad[:n] = pend
+            scores = self.scorer.score(jnp.asarray(pad))
+            state["carry"] = self._chunk_fn(
+                state["carry"], scores, jnp.int32(state["t"]),
+                jnp.arange(self.CHUNK) < n)
+            state["t"] += n
+            state["pending"] = np.zeros((0, 0), np.float32)
+        return state["t"]
+
+    def stream_partial(self, state: dict) -> Hypothesis:
+        """Best hypothesis so far (partial result) — does not disturb the
+        stream; the buffered remainder is not included."""
+        if state["t"] == 0:
+            return Hypothesis([], float("-inf"), [])
+        tape = tuple(np.asarray(a) for a in state["carry"][3])
+        return self._backtrace(*tape, state["t"])
+
+    def stream_end(self, state: dict) -> Hypothesis:
+        """Finish the stream: flush the remainder and return the final
+        hypothesis; the lattice is available via get_lattice()."""
+        T = self._stream_flush(state)
+        tape = tuple(np.asarray(a) for a in state["carry"][3])
+        self._last = tape + (T,)
+        return self._backtrace(*tape, T)
 
     def decode(self, feats: np.ndarray,
                bestpath: Optional[bool] = None) -> Hypothesis:
