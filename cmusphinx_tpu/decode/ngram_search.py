@@ -341,6 +341,10 @@ class NgramSearch:
 
     # ------------------------------------------------------------------
     FRAME_BUCKET = 100
+    # Unrolling the frame scan amortizes per-iteration loop overhead and
+    # lets XLA fuse across consecutive frames; the step is latency- (not
+    # bandwidth-) bound at small channel counts, so this is nearly free.
+    SCAN_UNROLL = 8
 
     def device_decode(self, feats, valid):
         """Pure device program: padded feats [Tpad, D] + valid mask [Tpad] ->
@@ -374,7 +378,8 @@ class NgramSearch:
                 jnp.full((B, g.n_rcvar), NEG_INF))
         (alpha, hist, xsr, tape), _ = jax.lax.scan(
             self._step_fn, (alpha, hist, xsr, tape),
-            (scores, la, jnp.arange(Tpad, dtype=jnp.int32), valid))
+            (scores, la, jnp.arange(Tpad, dtype=jnp.int32), valid),
+            unroll=self.SCAN_UNROLL)
         return tape
 
     # ------------------------------------------------------------------

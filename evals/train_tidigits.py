@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--gauss", type=int, default=4)
     ap.add_argument("--iters", type=int, default=25)
+    ap.add_argument("--lw", type=float, default=6.5)
+    ap.add_argument("--wip", type=float, default=0.65)
+    ap.add_argument("--silprob", type=float, default=0.005)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -92,7 +95,8 @@ def main():
         d.add_word(w, ["SIL"])
     d.filler_end = d.n_word - 1
     lm = NgramModel.read(R + "/pocketsphinx/model/lm/en/tidigits.DMP")
-    search = NgramSearch(lm, d, mdef, tmat, scorer)
+    search = NgramSearch(lm, d, mdef, tmat, scorer, lw=args.lw,
+                         wip=args.wip, silprob=args.silprob)
 
     n_ok = n_err = n_ref = 0
     for utt, f in zip(utts, feats):
