@@ -199,35 +199,25 @@ class Decoder:
         if streaming:
             if not isinstance(self.search, NgramSearch):
                 raise ValueError("streaming decode requires an N-gram search")
+            from .frontend.fe import FrontendStream
             self._stream = self.search.stream_start()
-            self._samp_carry = np.zeros(0, np.float32)
+            self._festream = FrontendStream(self.fe)
             self._cep_buf = np.zeros((0, 0), np.float32)
             self._cep_done = 0  # cep frames already emitted as features
-            nc = self.fp.cepsize
-            self._cmn_sum = np.zeros(nc, np.float64)
-            self._cmn_n = 0
-            self._cmn_mean = np.asarray(self.fp._cmn_mean, np.float32).copy()
 
     def _stream_feats(self, cep: np.ndarray, endutt: bool) -> None:
         """Emit dynamic-feature frames whose delta context is complete.
 
-        New cepstra are normalized on arrival with prior-mode CMN
-        (cmn_prior.c: subtract the running mean, update it from the
-        accumulated raw sum) and appended to a context buffer; dynamic
-        features are computed over [done-win, avail+win) so every emitted
-        frame has its full delta window — replicate padding only ever
-        applies at true utterance boundaries.
+        New cepstra are normalized on arrival through the feature
+        pipeline's live path (fp.normalize_live: prior-mode CMN with the
+        end-of-utterance mean refresh, plus AGC — cmn_prior.c / agc.c
+        semantics, shared with compute_live) and appended to a context
+        buffer; dynamic features are computed over [done-win, avail+win)
+        so every emitted frame has its full delta window — replicate
+        padding only ever applies at true utterance boundaries.
         """
         fp = self.fp
-        if cep.size and fp.cmn_type != "none":
-            self._cmn_sum += cep.sum(axis=0)
-            self._cmn_n += cep.shape[0]
-            cep = cep - self._cmn_mean
-            if self._cmn_n > 800:  # CMN_WIN_HWM (cmn_prior.c)
-                self._cmn_mean = (self._cmn_sum / self._cmn_n
-                                  ).astype(np.float32)
-                self._cmn_sum *= 500.0 / self._cmn_n
-                self._cmn_n = 500
+        cep = fp.normalize_live(cep, endutt)
         if cep.size:
             self._cep_buf = (cep if self._cep_buf.size == 0
                              else np.concatenate([self._cep_buf, cep]))
@@ -253,14 +243,12 @@ class Decoder:
         if self._stream is None:
             self._raw_chunks.append(data)
             return
-        buf = np.concatenate([self._samp_carry, data])
-        cep = np.asarray(self.fe.process(buf, include_tail=False))
+        # FrontendStream carries the pre-emphasis prior and the sample
+        # remainder across chunks (fe_process_frames streaming semantics),
+        # so chunked features match a one-shot fe.process of the same audio.
+        cep = np.asarray(self._festream.process(data))
         if cep.shape[0]:
-            shift = self.fe.frame_shift
-            self._samp_carry = buf[cep.shape[0] * shift:]
             self._stream_feats(cep, endutt=False)
-        else:
-            self._samp_carry = buf
 
     def process_cep(self, cep: np.ndarray) -> None:
         if not self._in_utt:
@@ -276,10 +264,8 @@ class Decoder:
             raise RuntimeError("no utterance in progress")
         self._in_utt = False
         if self._stream is not None:
-            tail = None
-            if self._samp_carry.size:
-                tail = np.asarray(self.fe.process(self._samp_carry))
-            if tail is not None and tail.shape[0]:
+            tail = np.asarray(self._festream.end_utt())
+            if tail.shape[0]:
                 self._stream_feats(tail, endutt=True)
             elif self._cep_done < self._cep_buf.shape[0]:
                 self._stream_feats(

@@ -85,6 +85,16 @@ def main(argv=None) -> int:
         voiced = (f0 > 0).mean() if len(f0) else 0
         print(f"{kv['i']} -> {kv['o']}: {len(f0)} frames, "
               f"{100 * voiced:.0f}% voiced")
+    elif cmd == "mdef_convert":
+        # pocketsphinx_mdef_convert capability: text <-> binary BMDF.
+        from ..models.mdef import Mdef
+        m = Mdef.read(kv["i"])
+        if kv.get("text"):
+            m.write_text(kv["o"])
+        else:
+            m.write_binary(kv["o"])
+        print(f"{kv['i']} -> {kv['o']}: {m.n_ciphone} CI phones, "
+              f"{m.n_phone - m.n_ciphone} triphones, {m.n_sen} senones")
     elif cmd == "lm_convert":
         # sphinx_lm_convert capability: ARPA <-> DMP by extension/-ofmt.
         from ..models.ngram import NgramModel

@@ -173,7 +173,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
     prev_l: List[int] = []
     ci_of: List[int] = []
     exit_lists: List[List[int]] = [[] for _ in range(W)]
-    rssid = np.zeros((W, nci), np.int8)
+    rssid = np.zeros((W, nci), np.int16)
     firstci = np.zeros(W, np.int32)
     lastci = np.zeros(W, np.int32)
 
@@ -233,7 +233,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
                     for v in range(len(cols)):
                         row = [xs.of_ssid(int(ssid_of[p])) for p in cols[v]]
                         rows.append((intern_lcrow(row), row[d2p.sil]))
-                    info = ("f", rows, inv.astype(np.int8), tm)
+                    info = ("f", rows, inv.astype(np.int16), tm)
                 single_cache[b] = info
             if info[0] == "c":
                 _, lcrow, sxs, tm = info
@@ -276,7 +276,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
             else:
                 uniq, inv = np.unique(ssid_of[tab], return_inverse=True)
                 info = ("f", [xs.of_ssid(int(u)) for u in uniq],
-                        inv.astype(np.int8), tm)
+                        inv.astype(np.int16), tm)
             end_cache[(e, pe)] = info
         if info[0] == "c":
             _, sxs, tm = info

@@ -253,6 +253,18 @@ class FeatPipeline:
     # ------------------------------------------------------------------
     def compute_live(self, cep: np.ndarray, beginutt: bool, endutt: bool) -> np.ndarray:
         """Live/streaming path with prior CMN and emax AGC (stateful)."""
+        cep = self.normalize_live(cep, endutt)
+        feats = np.asarray(self._dynamic(jnp.asarray(cep)))
+        if self.lda is not None:
+            feats = feats @ self.lda[: self.out_dim].T
+        return feats
+
+    def normalize_live(self, cep: np.ndarray, endutt: bool) -> np.ndarray:
+        """Stateful per-chunk normalization for streaming: prior-mode CMN
+        (cmn_prior.c: subtract the running mean, refresh it past CMN_WIN_HWM
+        and at utterance end) and AGC on c0.  Shared by compute_live and the
+        incremental Decoder streaming path so both see identical CMN/AGC
+        state evolution."""
         cep = np.asarray(cep, np.float32).copy()
         # cmn_prior (cmn_prior.c): accumulate raw cepstra, subtract current mean.
         if self.cmn_type != "none":
@@ -279,10 +291,7 @@ class FeatPipeline:
                     self._agc_obs_sum /= 2
                     self._agc_obs_utt = 4
                 self._agc_obs_max = -np.inf
-        feats = np.asarray(self._dynamic(jnp.asarray(cep)))
-        if self.lda is not None:
-            feats = feats @ self.lda[: self.out_dim].T
-        return feats
+        return cep
 
     def split_streams(self, feats) -> List[np.ndarray]:
         """Split a flat [T, D] feature array into per-stream arrays."""

@@ -253,6 +253,116 @@ class Mdef:
         return m
 
     # ------------------------------------------------------------------
+    def write_binary(self, path: str) -> None:
+        """Write the BMDF binary format (reference layout:
+        pocketsphinx/src/libpocketsphinx/bin_mdef.c:517-599 bin_mdef_write;
+        cd-tree level order :148-250 — 4 word-position roots, then all CI
+        nodes, then all left-context nodes, then right-context leaves).
+        Round-trips through Mdef.read_binary and the reference reader."""
+        n_ci = self.n_ciphone
+        # Group triphones: (wpos, base) -> {lc: [(rc, pid), ...]}.
+        groups: Dict[Tuple[int, int], Dict[int, List[Tuple[int, int]]]] = {}
+        for (b, lc, rc, wpos), pid in self._tri_index.items():
+            groups.setdefault((wpos, b), {}).setdefault(lc, []).append((rc, pid))
+        # Level-order allocation (bin_mdef.c two-pass counter scheme).
+        n_lc_total = sum(len(lcs) for lcs in groups.values())
+        ci_start = 4
+        lc_start = ci_start + 4 * n_ci
+        rc_start = lc_start + n_lc_total
+        n_rc_total = sum(len(rcl) for lcs in groups.values()
+                         for rcl in lcs.values())
+        n_nodes = rc_start + n_rc_total
+        tree = np.zeros(n_nodes, dtype=np.dtype(
+            [("ctx", "<i2"), ("n_down", "<i2"), ("c", "<i4")]))
+        ci_idx, lc_idx, rc_idx = ci_start, lc_start, rc_start
+        for wpos in range(4):
+            tree[wpos] = (wpos, n_ci, ci_idx)
+            for b in range(n_ci):
+                lcs = groups.get((wpos, b), {})
+                tree[ci_idx] = (b, len(lcs), lc_idx if lcs else -1)
+                for lc in sorted(lcs):
+                    rcl = sorted(lcs[lc])
+                    tree[lc_idx] = (lc, len(rcl), rc_idx if rcl else -1)
+                    for rc, pid in rcl:
+                        tree[rc_idx] = (rc, 0, pid)
+                        rc_idx += 1
+                    lc_idx += 1
+                ci_idx += 1
+        # Phone entries (12 bytes each).
+        phones = np.zeros(self.n_phone, dtype=np.dtype(
+            [("ssid", "<i4"), ("tmat", "<i4"), ("b0", "i1"), ("b1", "i1"),
+             ("b2", "i1"), ("b3", "i1")]))
+        phones["ssid"] = self.phone_ssid
+        phones["tmat"] = self.phone_tmat
+        for i in range(n_ci):
+            phones["b0"][i] = 1 if self.is_filler(i) else 0
+        for i in range(n_ci, self.n_phone):
+            b, lc, rc, wpos = self.phone_ctx[i]
+            phones["b0"][i] = wpos
+            phones["b1"][i] = b
+            phones["b2"][i] = lc
+            phones["b3"][i] = rc
+
+        desc = (b"cmusphinx_tpu binary mdef file\n"
+                b"(BMDF layout per pocketsphinx bin_mdef.c)\n\0")
+        hdrlen = (len(desc) + 3) & ~3
+        with open(path, "wb") as fh:
+            fh.write(b"BMDF")
+            fh.write(struct.pack("<ii", 1, hdrlen))
+            fh.write(desc + b"\0" * (hdrlen - len(desc)))
+            fh.write(struct.pack(
+                "<10i", n_ci, self.n_phone, self.n_emit_state, self.n_ci_sen,
+                self.n_sen, self.n_tmat, self.n_sseq, 3, n_nodes,
+                self.sil if self.sil >= 0 else 0))
+            for name in self.ciname:
+                fh.write(name.encode() + b"\0")
+            pad = (-fh.tell()) % 4
+            fh.write(b"\0" * pad)
+            fh.write(tree.tobytes())
+            fh.write(phones.tobytes())
+            if self.n_emit_state:
+                sseq = self.sseq.astype("<u2")
+                fh.write(struct.pack("<i", sseq.size))
+                fh.write(sseq.tobytes())
+            else:
+                lens = np.asarray(self.sseq_len, np.uint8)
+                flat = np.concatenate([
+                    self.sseq[i, : lens[i]] for i in range(self.n_sseq)
+                ]).astype("<u2")
+                fh.write(struct.pack("<i", flat.size))
+                fh.write(flat.tobytes())
+                fh.write(lens.tobytes())
+
+    def write_text(self, path: str) -> None:
+        """Write the text mdef format (mdef.c / bin_mdef_write_text)."""
+        with open(path, "w") as fh:
+            fh.write("0.3\n")
+            fh.write(f"{self.n_ciphone} n_base\n")
+            fh.write(f"{self.n_phone - self.n_ciphone} n_tri\n")
+            fh.write(f"{self.n_phone * (self.max_emit_state + 1)} n_state_map\n")
+            fh.write(f"{self.n_sen} n_tied_state\n")
+            fh.write(f"{self.n_ci_sen} n_tied_ci_state\n")
+            fh.write(f"{self.n_tmat} n_tied_tmat\n")
+            fh.write("#\n# Columns definitions\n#%4s %3s %3s %1s %6s %4s %s\n"
+                     % ("base", "lft", "rt", "p", "attrib", "tmat",
+                        "     ... state id's ..."))
+            for p in range(self.n_phone):
+                ssid = int(self.phone_ssid[p])
+                states = [str(int(s)) for s in self.sseq[ssid]
+                          if int(s) != BAD_SENID]
+                if p < self.n_ciphone:
+                    attr = "filler" if self.is_filler(p) else "n/a"
+                    fh.write("%5s %3s %3s %1s %6s %4d %s N\n" % (
+                        self.ciname[p], "-", "-", "-", attr,
+                        int(self.phone_tmat[p]), " ".join(states)))
+                else:
+                    b, lc, rc, wpos = self.phone_ctx[p]
+                    fh.write("%5s %3s %3s %1s %6s %4d %s N\n" % (
+                        self.ciname[b], self.ciname[lc], self.ciname[rc],
+                        WPOS_NAMES[wpos], "n/a",
+                        int(self.phone_tmat[p]), " ".join(states)))
+
+    # ------------------------------------------------------------------
     def phone_id(self, b: int, lc: int = -1, rc: int = -1, wpos: int = -1) -> int:
         """Triphone lookup with fallbacks as in bin_mdef_phone_id_nearest
         (bin_mdef.c:739-870): fillers in context map to SIL; exact triphone,

@@ -164,7 +164,8 @@ class SenoneTree:
                    if q.answer(self.ctx[i, 0], self.ctx[i, 1], self.ctx[i, 2])]
             if not yes or len(yes) == len(items):
                 continue
-            no = [i for i in items if i not in set(yes)]
+            yes_set = set(yes)
+            no = [i for i in items if i not in yes_set]
             ly, oy = self._ll(yes)
             ln, on = self._ll(no)
             if oy < self.min_occ or on < self.min_occ:

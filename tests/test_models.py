@@ -70,3 +70,36 @@ def test_sendump_tidigits_8bit(tidigits):
     assert g.veclen == [12, 24, 3, 12]  # s2_4x streams
     w = read_sendump(str(tidigits / "sendump"))
     assert w.shape == (4, 256, 670)
+
+
+def test_mdef_binary_writer_roundtrip(tidigits, hub4, tmp_path):
+    """BMDF writer (bin_mdef.c:517-599 layout) round-trips both a text mdef
+    (tidigits) and a shipped binary mdef (hub4) bit-compatibly."""
+    for src in (str(tidigits / "mdef"), str(hub4 / "mdef")):
+        m = Mdef.read(src)
+        out = str(tmp_path / "out.bmdf")
+        m.write_binary(out)
+        with open(out, "rb") as fh:
+            assert fh.read(4) == b"BMDF"
+        m2 = Mdef.read(out)
+        assert m2.n_ciphone == m.n_ciphone and m2.n_phone == m.n_phone
+        assert m2.n_sen == m.n_sen and m2.n_sseq == m.n_sseq
+        assert m2.ciname == m.ciname
+        assert np.array_equal(m2.phone_ssid, m.phone_ssid)
+        assert np.array_equal(m2.phone_tmat, m.phone_tmat)
+        assert np.array_equal(m2.sseq, m.sseq)
+        assert np.array_equal(m2.phone_ctx, m.phone_ctx)
+        assert np.array_equal(m2.cd2cisen, m.cd2cisen)
+        assert np.array_equal(m2.sen2cimap, m.sen2cimap)
+        assert m2._tri_index == m._tri_index
+
+
+def test_mdef_text_writer_roundtrip(tidigits, tmp_path):
+    m = Mdef.read(str(tidigits / "mdef"))
+    out = str(tmp_path / "out.mdef")
+    m.write_text(out)
+    m2 = Mdef.read(out)
+    assert m2.ciname == m.ciname
+    assert np.array_equal(m2.sseq[m2.phone_ssid], m.sseq[m.phone_ssid])
+    assert m2._tri_index.keys() == m._tri_index.keys()
+    assert np.array_equal(m2.phone_tmat, m.phone_tmat)
