@@ -61,6 +61,9 @@ DECODER_ARGS = [
     Arg("lmname", str, "", "Which language model in -lmctl to use initially"),
     Arg("fsg", str, "", "Sphinx format finite state grammar file"),
     Arg("jsgf", str, "", "JSGF grammar file"),
+    Arg("allphone", str, "",
+        "Perform phoneme decoding with phonetic lm (sphinx3 mode 1 / "
+        "ps -allphone); value is a phone N-gram LM path or 'uniform'"),
     Arg("toprule", str, "", "Start rule for JSGF (first public rule is default)"),
     Arg("varfloor", float, 0.0001, "Mixture gaussian variance floor"),
     Arg("mllr", str, "", "MLLR transform to apply to acoustic model means"),
@@ -123,7 +126,16 @@ class Decoder:
 
         # Search module (ps_reinit search selection :257-280).
         self.search = None
-        if str(cfg["fsg"]):
+        if str(cfg["allphone"]):
+            # Phoneme decoding with an optional phone N-gram LM
+            # (srch_allphone capability; shipped fixture
+            # sphinx3/model/lm/an4/an4.tg.phone.arpa.DMP loads here).
+            from .decode.align import allphone_search
+            spec = str(cfg["allphone"])
+            plm = None if spec == "uniform" else NgramModel.read(spec)
+            self.search = allphone_search(self.mdef, self.tmat, self.scorer,
+                                          lm=plm, config=cfg)
+        elif str(cfg["fsg"]):
             fsg = FsgModel.read(str(cfg["fsg"]))
             self.search = FsgSearch(fsg, self.dict, self.mdef, self.tmat,
                                     self.scorer, config=cfg)

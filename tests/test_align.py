@@ -87,3 +87,33 @@ def test_vad_segments_speech():
     segs2.extend(vad.end_stream())
     assert len(segs2) == 1
     assert abs(segs2[0].start_sample - s.start_sample) <= 1600
+
+
+def test_allphone_phone_trigram(reference_root):
+    """Allphone with the shipped an4 phone trigram LM loaded through the
+    repo's DMP reader (srch_allphone phone-N-gram capability, reference
+    sphinx3/src/libs3decoder/libsearch/srch_allphone.c; fixture
+    sphinx3/model/lm/an4/an4.tg.phone.arpa.DMP)."""
+    from cmusphinx_tpu.api import Decoder
+    from cmusphinx_tpu.models.ngram import NgramModel
+    R = str(reference_root / "pocketsphinx")
+    plm_path = str(reference_root /
+                   "sphinx3/model/lm/an4/an4.tg.phone.arpa.DMP")
+    plm = NgramModel.read(plm_path)
+    assert plm.n == 3 and plm.n_words == 35
+    assert len(plm.tg_wid) == 1202  # trigram table loaded
+    d = Decoder(hmm=R + "/model/hmm/en_US/hub4wsj_sc_8k",
+                allphone=plm_path, lw=3.0, wip=0.05)
+    h = d.decode_raw(R + "/test/data/goforward.raw")
+    phones = [p for p in h.text.split() if not p.startswith("+")]
+    # Phonotactics from the trigram recover the W-ER-D cluster; the phone
+    # string must track "G OW F AO R W ER D ..." closely at the front.
+    assert "OW" in phones[:4] and "AO" in phones[:6]
+    assert "ER" in phones
+    joined = " ".join(phones)
+    assert "F AO R" in joined
+    # Uniform-LM mode through the same API surface.
+    d2 = Decoder(hmm=R + "/model/hmm/en_US/hub4wsj_sc_8k",
+                 allphone="uniform", lw=3.0, wip=0.05)
+    h2 = d2.decode_raw(R + "/test/data/goforward.raw")
+    assert "F AO R" in h2.text
