@@ -61,6 +61,11 @@ DECODER_ARGS = [
     Arg("lmname", str, "", "Which language model in -lmctl to use initially"),
     Arg("fsg", str, "", "Sphinx format finite state grammar file"),
     Arg("jsgf", str, "", "JSGF grammar file"),
+    Arg("srgs", str, "", "SRGS XML grammar file (libcfg s3_cfg_srgs)"),
+    Arg("cfg", str, "",
+        "Plain CFG production file (libcfg s3_cfg_read_simple format)"),
+    Arg("cfg_maxexp", int, 2,
+        "Max recursive expansions per nonterminal in CFG->FSG conversion"),
     Arg("allphone", str, "",
         "Perform phoneme decoding with phonetic lm (sphinx3 mode 1 / "
         "ps -allphone); value is a phone N-gram LM path or 'uniform'"),
@@ -142,6 +147,15 @@ class Decoder:
         elif str(cfg["jsgf"]):
             gram = JsgfGrammar.parse_file(str(cfg["jsgf"]))
             fsg = gram.build_fsg(str(cfg["toprule"]) or None)
+            self.search = FsgSearch(fsg, self.dict, self.mdef, self.tmat,
+                                    self.scorer, config=cfg)
+        elif str(cfg["srgs"]) or str(cfg["cfg"]):
+            # CFG/SRGS engine (sphinx3 libcfg capability): grammar ->
+            # regular approximation -> FSG -> dense Viterbi.
+            from .models.cfg import Cfg
+            g = (Cfg.parse_srgs_file(str(cfg["srgs"])) if str(cfg["srgs"])
+                 else Cfg.read_simple(str(cfg["cfg"])))
+            fsg = g.to_fsg(max_expansion=int(cfg["cfg_maxexp"]))
             self.search = FsgSearch(fsg, self.dict, self.mdef, self.tmat,
                                     self.scorer, config=cfg)
         elif str(cfg["lmctl"]):

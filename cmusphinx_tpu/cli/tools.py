@@ -85,6 +85,20 @@ def main(argv=None) -> int:
         voiced = (f0 > 0).mean() if len(f0) else 0
         print(f"{kv['i']} -> {kv['o']}: {len(f0)} frames, "
               f"{100 * voiced:.0f}% voiced")
+    elif cmd == "cfg2fsg":
+        # sphinx3 cfg2fsg capability: CFG or SRGS grammar -> FSG file.
+        from ..models.cfg import Cfg
+        if kv.get("srgs"):
+            g = Cfg.parse_srgs_file(kv["srgs"])
+            src = kv["srgs"]
+        else:
+            g = Cfg.read_simple(kv["cfg"])
+            src = kv["cfg"]
+        fsg = g.to_fsg(max_expansion=int(kv.get("maxexp", 2)))
+        with open(kv["fsg"], "w") as fh:
+            fsg.write(fh)
+        print(f"{src} -> {kv['fsg']}: {fsg.n_state} states, "
+              f"{len(fsg.links)} transitions")
     elif cmd == "mdef_convert":
         # pocketsphinx_mdef_convert capability: text <-> binary BMDF.
         from ..models.mdef import Mdef
