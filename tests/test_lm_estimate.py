@@ -97,3 +97,69 @@ def test_decode_with_trained_lm(reference_root):
         assert h.text == "ONE ONE ONE"
     finally:
         os.unlink(tmp)
+
+
+# ----------------------------------------------------------------------
+# Disk-scale idngram pipeline (ac_hash / mergeidngram / lm_sort capability)
+
+def _toy_corpus(n_sent=400, seed=0):
+    rng = np.random.RandomState(seed)
+    vocab = [f"w{i}" for i in range(30)]
+    sents = []
+    for _ in range(n_sent):
+        L = rng.randint(3, 9)
+        # Zipf-ish draws so count-of-counts are non-degenerate.
+        ids = np.minimum((rng.zipf(1.5, L) - 1), len(vocab) - 1)
+        sents.append([vocab[i] for i in ids])
+    return sents, vocab
+
+
+def test_disk_counts_match_in_memory(tmp_path):
+    from cmusphinx_tpu.lm.estimate import count_ngrams
+    from cmusphinx_tpu.lm.idngram import (count_ngrams_disk,
+                                          load_idngram_counts)
+    sents, vocab = _toy_corpus()
+    mem_counts, mem_words = count_ngrams(sents, vocab, n=3)
+    # Tiny RAM bound -> dozens of spill files -> k-way merge exercised.
+    paths, words = count_ngrams_disk(sents, vocab, n=3, max_ram_ngrams=200,
+                                     tmpdir=str(tmp_path))
+    assert words == mem_words
+    disk_counts = load_idngram_counts(paths)
+    for k in range(3):
+        assert disk_counts[k] == dict(mem_counts[k]), f"order {k+1} differs"
+
+
+def test_disk_lm_matches_in_memory_lm(tmp_path):
+    from cmusphinx_tpu.lm.estimate import count_ngrams, estimate_lm
+    from cmusphinx_tpu.lm.idngram import train_lm_disk
+    sents, vocab = _toy_corpus()
+    counts, words = count_ngrams(sents, vocab, n=3)
+    m_mem = estimate_lm(counts, words, discount="witten_bell")
+    m_disk = train_lm_disk(iter(sents), vocab, n=3, discount="witten_bell",
+                           max_ram_ngrams=100, tmpdir=str(tmp_path))
+    assert m_disk.words == m_mem.words
+    np.testing.assert_allclose(m_disk.ug_prob, m_mem.ug_prob, rtol=1e-6)
+    np.testing.assert_allclose(m_disk.ug_bo, m_mem.ug_bo, rtol=1e-6)
+    assert np.array_equal(m_disk.bg_wid, m_mem.bg_wid)
+    np.testing.assert_allclose(m_disk.bg_prob, m_mem.bg_prob, rtol=1e-5)
+    assert np.array_equal(m_disk.tg_wid, m_mem.tg_wid)
+    np.testing.assert_allclose(m_disk.tg_prob, m_mem.tg_prob, rtol=1e-5)
+
+
+def test_heldout_perplexity_regression(tmp_path):
+    """Held-out perplexity sanity: train < heldout < uniform, and the
+    disk-backed path reproduces the in-memory perplexity exactly."""
+    from cmusphinx_tpu.lm.estimate import train_lm
+    from cmusphinx_tpu.lm.idngram import train_lm_disk
+    sents, vocab = _toy_corpus(600, seed=1)
+    train, held = sents[:500], sents[500:]
+    m = train_lm(train, n=3, discount="good_turing")
+    ppl_train = m.perplexity(train[:100])[0]
+    ppl_held = m.perplexity(held)[0]
+    V = m.n_words
+    assert ppl_train < ppl_held < V, (ppl_train, ppl_held, V)
+    m2 = train_lm_disk(iter(train), [w for w in m.words
+                                     if w not in ("<s>", "</s>", "<UNK>")],
+                       n=3, discount="good_turing", max_ram_ngrams=300,
+                       tmpdir=str(tmp_path))
+    assert abs(m2.perplexity(held)[0] - ppl_held) < 1e-6 * max(ppl_held, 1)
