@@ -85,6 +85,13 @@ def main(argv=None) -> int:
         voiced = (f0 > 0).mean() if len(f0) else 0
         print(f"{kv['i']} -> {kv['o']}: {len(f0)} frames, "
               f"{100 * voiced:.0f}% voiced")
+    elif cmd == "htk2s3":
+        # htk2s3conv capability: HTK MMF -> Sphinx-3 model directory.
+        from ..models.htk import convert_htk
+        m = convert_htk(kv["i"], kv["o"], feat=kv.get("feat", "1s_c_d_dd"))
+        print(f"{kv['i']} -> {kv['o']}: {m.n_ciphone} CI phones, "
+              f"{m.n_phone - m.n_ciphone} triphones, {m.n_sen} senones, "
+              f"{m.n_tmat} tmats")
     elif cmd == "cfg2fsg":
         # sphinx3 cfg2fsg capability: CFG or SRGS grammar -> FSG file.
         from ..models.cfg import Cfg
