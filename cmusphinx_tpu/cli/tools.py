@@ -146,6 +146,16 @@ def main(argv=None) -> int:
         lm = NgramModel.read(kv["i"])
         write_lm_fst(lm, kv["o"], symfile=kv.get("syms"))
         print(f"{kv['i']} -> {kv['o']} (ATT FSM)")
+    elif cmd == "am2fst":
+        # sphinx_am_fst capability: mdef+tmat -> HMM-level FST.
+        from ..models import Mdef, TransitionMatrices
+        from ..models.fst import write_am_fst
+        mdef = Mdef.read(kv["mdef"])
+        tmat = TransitionMatrices.read(kv["tmat"])
+        write_am_fst(mdef, tmat, kv["fst"],
+                     isymfile=kv.get("isym"), osymfile=kv.get("osym"),
+                     triphones=bool(kv.get("triphones")))
+        print(f"{kv['mdef']} -> {kv['fst']}")
     elif cmd == "fsg2fst":
         from ..models.fsg import FsgModel
         from ..models.fst import write_fsg_fst

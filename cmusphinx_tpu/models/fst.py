@@ -94,6 +94,79 @@ def write_dict_fst(d, path: str, isymfile: Optional[str] = None,
         _write_syms(osymfile, list(osyms))
 
 
+def write_am_fst(mdef, tmat, path: str, isymfile: Optional[str] = None,
+                 osymfile: Optional[str] = None,
+                 triphones: bool = False) -> None:
+    """Acoustic model -> HMM-level transducer (sphinx_am_fst capability —
+    the reference binary sphinx_fsttools/sphinx_am_fst.cc declares
+    -mdef/-binfst/-txtfst but its main() is an empty stub; this implements
+    the advertised artifact): senone-in / phone-out FST.
+
+    State 0 is start/final.  Each phone (CI by default, plus triphones
+    when `triphones`) contributes its Bakis HMM expanded from its
+    transition matrix: arcs consume senone symbols `s<id>` with weights
+    -log P(transition), the first arc emits the phone name.  Composition
+    with the dictionary FST (write_dict_fst) then yields a senone->word
+    transducer, the OpenFst-style H o L pipeline.
+    """
+    names = {}
+    for p in range(mdef.n_phone if triphones else mdef.n_ciphone):
+        if p < mdef.n_ciphone:
+            names[p] = mdef.ciname[p]
+        else:
+            b, lc, rc, wpos = mdef.phone_ctx[p]
+            names[p] = (f"{mdef.ciname[b]}_{mdef.ciname[lc]}"
+                        f"_{mdef.ciname[rc]}_{'ibesu'[wpos]}")
+    isyms: Dict[str, None] = {}
+    osyms: Dict[str, None] = {}
+    lines: List[str] = []
+    next_state = 1
+    log_tp = tmat.log_tp
+    for p, pname_ in names.items():
+        ssid = int(mdef.phone_ssid[p])
+        sen = mdef.sseq[ssid]
+        tp = log_tp[int(mdef.phone_tmat[p])]
+        n = len([s for s in sen if int(s) != 0xFFFF])
+        # states: chain of n emitting states, entry from 0, exit to 0.
+        ids = list(range(next_state, next_state + n))
+        next_state += n
+        osyms[pname_] = None
+        for j in range(n):
+            lab = f"s{int(sen[j])}"
+            isyms[lab] = None
+            # entry arc into state j's first visit comes from the
+            # predecessor (or start), consuming state j's senone.
+            srcs = ([(0, 0.0)] if j == 0 else [])
+            if j >= 1:
+                srcs.append((ids[j - 1], -float(tp[j - 1, j])))
+            if j >= 2:
+                srcs.append((ids[j - 2], -float(tp[j - 2, j])))
+            for src, w in srcs:
+                if not np.isfinite(w) or w > 1e29:
+                    continue
+                olab = pname_ if src == 0 else EPS
+                lines.append(f"{src} {ids[j]} {lab} {olab} {w:.6f}")
+            # self loop
+            w = -float(tp[j, j])
+            if np.isfinite(w) and w < 1e29:
+                lines.append(f"{ids[j]} {ids[j]} {lab} {EPS} {w:.6f}")
+        # exits to the final/start state from the last two states (the
+        # tmat's nonemitting exit column is its last).
+        ex_col = tp.shape[0]
+        for j in (n - 1, n - 2):
+            if j < 0:
+                continue
+            w = -float(tp[j, ex_col])
+            if np.isfinite(w) and w < 1e29:
+                lines.append(f"{ids[j]} 0 {EPS} {EPS} {w:.6f}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n0 0\n")
+    if isymfile:
+        _write_syms(isymfile, list(isyms))
+    if osymfile:
+        _write_syms(osymfile, list(osyms))
+
+
 def write_lm_fst(lm, path: str, symfile: Optional[str] = None) -> None:
     """Backoff n-gram LM -> FSM (lm_attfsm.c capability).
 

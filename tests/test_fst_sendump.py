@@ -129,3 +129,33 @@ def test_lm_fst_export_scores_match(tmp_path):
             + lm.tg_score(lm.word_id("<s>"), wids[0], wids[1])
             + lm.tg_score(wids[0], wids[1], wids[2]))
     assert abs(got - want) < 1e-3
+
+
+def test_am_fst_export(tmp_path):
+    """AM (HMM-level) FST export for tidigits: senone-in/phone-out chains
+    per phone (sphinx_am_fst capability; reference binary is a stub)."""
+    from cmusphinx_tpu.models import Mdef, TransitionMatrices
+    from cmusphinx_tpu.models.fst import read_fst, write_am_fst
+    H = "/root/reference/pocketsphinx/model/hmm/en/tidigits"
+    mdef = Mdef.read(H + "/mdef")
+    tmat = TransitionMatrices.read(H + "/transition_matrices")
+    p = str(tmp_path / "am.fst")
+    write_am_fst(mdef, tmat, p, isymfile=str(tmp_path / "am.isym"),
+                 osymfile=str(tmp_path / "am.osym"))
+    arcs, finals = read_fst(p)
+    assert finals  # state 0 final
+    # Every CI phone appears exactly once as an output label.
+    olabels = [a[3] for a in arcs if a[3] != "<eps>"]
+    assert sorted(olabels) == sorted(mdef.ciname)
+    # Senone input labels are valid ids.
+    for a in arcs:
+        if a[2] != "<eps>":
+            sid = int(a[2][1:])
+            assert 0 <= sid < mdef.n_sen
+    # Each phone contributes a left-to-right chain with self loops:
+    # arc count ~ n_ci * (2 * n_state + skips + exits).
+    assert len(arcs) >= mdef.n_ciphone * 2 * mdef.n_emit_state
+    # Weights are -log probs: all finite, non-negative-ish.
+    assert all(a[4] > -1e-6 for a in arcs)
+    syms = open(str(tmp_path / "am.osym")).read().split()
+    assert "<eps>" in syms
