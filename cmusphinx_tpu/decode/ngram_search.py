@@ -390,7 +390,12 @@ class NgramSearch:
     CHUNK = 50
 
     def stream_start(self, max_frames: int = 3000) -> dict:
-        """Begin a streaming utterance; returns the device-resident state."""
+        """Begin a streaming utterance; returns the device-resident state.
+
+        `max_frames` sizes the initial backpointer tape; the tape GROWS
+        (doubling) when audio runs past it — long-form streams degrade to
+        an occasional reallocation+recompile instead of an error
+        (acmod_set_grow semantics, pocketsphinx acmod.c)."""
         g, E = self.graph, self.E
         alpha = jnp.full((g.n_chan, g.n_emit_state), NEG_INF)
         hist = jnp.full((g.n_chan, g.n_emit_state), -1, jnp.int32)
@@ -404,30 +409,64 @@ class NgramSearch:
                 jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
                 jnp.full((B,), -1, jnp.int32),
                 jnp.full((B, g.n_rcvar), NEG_INF))
+        W = self.pl_window
         if not hasattr(self, "_chunk_fn"):
-            def chunk(carry, scores, t0, valid):
+            def chunk(carry, scores_ext, t0, valid):
+                # scores_ext has CHUNK + pl_window frames: the lookahead
+                # window of every emitted frame is fully inside the
+                # extended block, so streaming lookahead == batch
+                # (phone_loop consultation, ngram_search_fwdtree.c:1390).
                 ts = t0 + jnp.arange(self.CHUNK, dtype=jnp.int32)
-                la = jnp.zeros((self.CHUNK, 1), jnp.float32)
+                if W:
+                    cis = jnp.where(self._ci_sen_valid[None],
+                                    scores_ext[:, self._ci_sen],
+                                    jnp.float32(NEG_INF)).max(-1)
+                    rel = cis - jnp.max(cis, axis=1, keepdims=True)
+                    shifts = [rel[dt : dt + self.CHUNK] for dt in range(W)]
+                    la = jnp.float32(self.pl_weight) * jnp.stack(shifts).max(0)
+                else:
+                    la = jnp.zeros((self.CHUNK, 1), jnp.float32)
                 carry, _ = jax.lax.scan(self._step_fn, carry,
-                                        (scores, la, ts, valid))
+                                        (scores_ext[: self.CHUNK], la, ts,
+                                         valid))
                 return carry
             self._chunk_fn = jax.jit(chunk)
         return {"carry": (alpha, hist, xsr, tape), "t": 0,
                 "max_frames": max_frames,
                 "pending": np.zeros((0, 0), np.float32)}
 
+    def _ensure_tape(self, state: dict, need_frames: int) -> None:
+        """Grow the device tape (doubling) to hold `need_frames` frames."""
+        while state["t"] + need_frames > state["max_frames"]:
+            E, g = self.E, self.graph
+            grow = state["max_frames"] * E  # double
+            alpha, hist, xsr, tape = state["carry"]
+            tw, tsc, tprev, th2, th1, trc = tape
+            tape = (
+                jnp.concatenate([tw, jnp.full((grow,), -1, jnp.int32)]),
+                jnp.concatenate([tsc, jnp.full((grow,), NEG_INF)]),
+                jnp.concatenate([tprev, jnp.full((grow,), -1, jnp.int32)]),
+                jnp.concatenate([th2, jnp.full((grow,), -1, jnp.int32)]),
+                jnp.concatenate([th1, jnp.full((grow,), -1, jnp.int32)]),
+                jnp.concatenate([trc, jnp.full((grow, g.n_rcvar), NEG_INF)]),
+            )
+            state["carry"] = (alpha, hist, xsr, tape)
+            state["max_frames"] *= 2
+
     def stream_push(self, state: dict, feats: np.ndarray) -> dict:
         """Feed feature frames; full CHUNK quanta are decoded on device,
-        the remainder is buffered until the next push or stream_end."""
+        the remainder is buffered until the next push or stream_end.
+        With pl_window set, the last pl_window frames are additionally
+        held back so every decoded frame sees its full lookahead."""
         feats = np.asarray(feats, np.float32)
+        W = self.pl_window
         pend = state["pending"]
         buf = feats if pend.size == 0 else np.concatenate([pend, feats])
         n = buf.shape[0]
-        k = n // self.CHUNK
+        k = max(n - W, 0) // self.CHUNK
         for i in range(k):
-            chunk = buf[i * self.CHUNK : (i + 1) * self.CHUNK]
-            if state["t"] + self.CHUNK > state["max_frames"]:
-                raise ValueError("stream exceeds max_frames")
+            chunk = buf[i * self.CHUNK : (i + 1) * self.CHUNK + W]
+            self._ensure_tape(state, self.CHUNK)
             scores = self.scorer.score(jnp.asarray(chunk))
             state["carry"] = self._chunk_fn(
                 state["carry"], scores, jnp.int32(state["t"]),
@@ -438,18 +477,31 @@ class NgramSearch:
 
     def _stream_flush(self, state: dict) -> int:
         """Decode the buffered remainder (padded, masked).  Returns the
-        total number of REAL frames decoded."""
+        total number of REAL frames decoded.  Padding replicates the last
+        real frame so end-of-stream lookahead matches the batch path's
+        repeat-last-frame shifts."""
         pend = state["pending"]
         n = pend.shape[0]
-        if n:
-            pad = np.zeros((self.CHUNK, pend.shape[1]), np.float32)
-            pad[:n] = pend
+        W = self.pl_window
+        while n:
+            take = min(n, self.CHUNK)
+            blk = pend[:take]
+            rest = pend[take:]
+            need = self.CHUNK + W
+            pad = np.repeat(blk[-1:], need, axis=0)
+            pad[:take] = blk
+            avail = min(rest.shape[0], need - take)
+            if avail:
+                pad[take : take + avail] = rest[:avail]
+            self._ensure_tape(state, take)
             scores = self.scorer.score(jnp.asarray(pad))
             state["carry"] = self._chunk_fn(
                 state["carry"], scores, jnp.int32(state["t"]),
-                jnp.arange(self.CHUNK) < n)
-            state["t"] += n
-            state["pending"] = np.zeros((0, 0), np.float32)
+                jnp.arange(self.CHUNK) < take)
+            state["t"] += take
+            pend = rest
+            n = pend.shape[0]
+        state["pending"] = np.zeros((0, 0), np.float32)
         return state["t"]
 
     def stream_partial(self, state: dict) -> Hypothesis:

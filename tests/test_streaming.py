@@ -110,3 +110,46 @@ def test_phone_loop_lookahead_integration(tidigits, reference_root):
                     jnp.float32(-1e30)).max(-1)
     rel = np.asarray(cis - cis.max(axis=1, keepdims=True))
     assert (rel < -1.0).any()
+
+
+def test_streaming_lookahead_active(tidigits, reference_root):
+    """With pl_window set, STREAMING decode feeds real lookahead into the
+    chunked step (fix for the la=zeros hole) and still produces the
+    golden transcript; frames are held back so every decoded frame sees
+    its full window."""
+    from cmusphinx_tpu.decode import NgramSearch
+    d = tidigits
+    search = NgramSearch(d.search.lm, d.dict, d.mdef, d.tmat, d.scorer,
+                         pl_window=5, pl_weight=2.0)
+    cep = read_mfc(str(reference_root /
+                       "pocketsphinx/test/data/tidigits/man.ah.2934za.mfc"))
+    feats = np.asarray(d.fp.compute(cep))
+    st = search.stream_start(max_frames=1000)
+    for i in range(0, feats.shape[0], 37):
+        search.stream_push(st, feats[i : i + 37])
+    # Lookahead hold-back: pending retains >= pl_window frames.
+    assert st["pending"].shape[0] >= 5
+    hyp = search.stream_end(st)
+    assert hyp.text == "TWO NINE THREE FOUR ZERO"
+    assert st["t"] == feats.shape[0]
+
+
+def test_streaming_tape_growth_long_audio(tidigits, reference_root):
+    """Audio past max_frames GROWS the tape instead of raising (long-form
+    streaming, acmod_set_grow semantics): a 3x-concatenated utterance
+    decodes through a tape sized for a third of it."""
+    d = tidigits
+    search = d.search
+    cep = read_mfc(str(reference_root /
+                       "pocketsphinx/test/data/tidigits/man.ah.2934za.mfc"))
+    feats = np.asarray(d.fp.compute(cep))
+    long_feats = np.concatenate([feats, feats, feats])
+    st = search.stream_start(max_frames=100)  # deliberately undersized
+    for i in range(0, long_feats.shape[0], 64):
+        search.stream_push(st, long_feats[i : i + 64])
+    hyp = search.stream_end(st)
+    assert st["max_frames"] >= long_feats.shape[0]
+    assert st["t"] == long_feats.shape[0]
+    # All three repetitions decoded.
+    assert hyp.text.split().count("NINE") == 3
+    assert hyp.text.split().count("ZERO") == 3
