@@ -64,8 +64,8 @@ def main():
         lsn[p[-1].strip("()")] = " ".join(p[:-1])
     ctl = [l.strip() for l in open(R + "/test/data/tidigits/tidigits.ctl")
            if l.strip()]
-    feats = {u: np.asarray(fp.compute(
-        read_mfc(R + f"/test/data/tidigits/{u}.mfc"))) for u in ctl}
+    ceps = [read_mfc(R + f"/test/data/tidigits/{u}.mfc") for u in ctl]
+    feats = dict(zip(ctl, fp.compute_batch(ceps)))
     audio_s = sum(len(f) for f in feats.values()) * 0.01
 
     # Warm-up pass (compiles the batched program) + correctness check

@@ -208,11 +208,61 @@ class NgramSearch:
         self._entxs0 = jnp.asarray(xs0)
         self._ent0 = ent0
         self._fil_pen_np = fp
-        self._step_fn = jax.jit(self._make_step())
+        self._is_finish_d = jnp.asarray(v.is_finish)
+        self._core = self._make_core()
         self._last: Optional[tuple] = None
+        self._last_batch: Optional[tuple] = None
 
     # ------------------------------------------------------------------
-    def _make_step(self):
+    def _xscores_all(self, scores):
+        """Extended-senone-sequence scores for ALL frames at once:
+        [T, n_sen] -> [T, n_xs, S].  Singleton rows are a direct gather;
+        composite rows (ordered last) gather members and max (composite
+        triphones, lextree.c semantics).  Hoisted OUT of the frame scan —
+        these gathers have no carry dependence, so they run frame-parallel
+        before the sequential Viterbi loop."""
+        neg = jnp.float32(NEG_INF)
+        g = self.graph
+        base = jnp.where(self._sing_valid[None],
+                         scores[:, self._sing_sen], neg)
+        comp = jnp.where(self._comp_valid[None],
+                         jnp.max(scores[:, self._comp_mem], axis=-1), neg)
+        return jnp.concatenate(
+            [base[:, : g.n_sing], comp[:, : g.n_xs - g.n_sing]], axis=1)
+
+    def _init_hmmc(self):
+        """Initial HMM carry: all channels silent except the static <s>
+        entries; word-history payloads (hw2, hw1) start at (<s>, -1)."""
+        g = self.graph
+        C, S = g.n_chan, g.n_emit_state
+        alpha = jnp.full((C, S), NEG_INF)
+        hist = jnp.full((C, S), -1, jnp.int32)
+        xsr = jnp.broadcast_to(self._static_xs[:, None],
+                               (C, S)).astype(jnp.int32)
+        hw2 = jnp.full((C, S), self.start_lmwid, jnp.int32)
+        hw1 = jnp.full((C, S), -1, jnp.int32)
+        alpha, (hist, xsr, hw2, hw1) = hmm_enter(
+            alpha, (hist, xsr, hw2, hw1), self._entc0,
+            (jnp.full((C,), -1, jnp.int32), self._entxs0,
+             jnp.full((C,), self.start_lmwid, jnp.int32),
+             jnp.full((C,), -1, jnp.int32)))
+        return alpha, hist, xsr, hw2, hw1
+
+    def _make_core(self):
+        """The per-frame Viterbi core.  Takes the HMM carry (alpha + payload
+        planes: backpointer slot, mpx xs row, and the two LM history words
+        hw2/hw1 riding WITH the tokens — so the step never reads the tape)
+        and precomputed xscores; returns the new carry and the frame's tape
+        row [E] (word, score, prev slot, h2, h1, rc-variant scores).
+
+        For small graphs every in-loop gather is reformulated as a ONE-HOT
+        MATMUL: TPU gathers serialize (~0.25us/element — profiled as the
+        dominant per-frame cost), while one-hot dots ride the MXU in a few
+        microseconds.  Exactness is preserved: a one-hot row selects exactly
+        one finite f32 value (1*v + 0*rest = v bit-exactly), integers are
+        < 2^24 so the f32 round trip is lossless, and Precision.HIGHEST
+        keeps the MXU from truncating to bf16.  Static index vectors become
+        loop-invariant one-hots that XLA hoists out of the scan."""
         g, v = self.graph, self.vocab
         E, W, C = self.E, v.n_word, g.n_chan
         S, Vr = g.n_emit_state, g.n_rcvar
@@ -220,28 +270,40 @@ class NgramSearch:
         lw = jnp.float32(self.lw)
         log_wip = jnp.float32(self.log_wip)
         log_pip = jnp.float32(self.log_pip)
-        start_h = jnp.int32(self.start_lmwid)
         use_rows = self.dlm.tg_dense is None
+        Vlm = self.dlm.V
+        hp = jax.lax.Precision.HIGHEST
+        # One-hot dots beat gathers only while the expanded matrices stay
+        # VMEM-friendly; large graphs keep the gather formulation.
+        small = max(C * C, C * W, C * S * g.n_xs, Vlm * W) <= (8 << 20)
+        self._oh_gathers = small
 
-        def step(carry, inputs):
-            alpha0, hist0, xsr0, tape0 = carry
-            tw0, tsc0, tprev0, th20, th10, trc0 = tape0
-            sen_t, la_t, t, valid = inputs
+        def oh(idx, n):
+            return (idx[..., None] ==
+                    jnp.arange(n, dtype=jnp.int32)).astype(jnp.float32)
 
-            # Extended-senone-sequence scores: singleton rows are a direct
-            # gather; composite rows (ordered last) gather members and max
-            # (composite triphones, lextree.c semantics).  All vectorized
-            # gathers — no scatters (they serialize on TPU).
-            base = jnp.where(self._sing_valid, sen_t[self._sing_sen], neg)
-            comp = jnp.where(self._comp_valid,
-                             jnp.max(sen_t[self._comp_mem], axis=-1), neg)
-            xscores = jnp.concatenate(
-                [base[: g.n_sing], comp[: g.n_xs - g.n_sing]], axis=0)
-            sen_c = xscores.reshape(-1)[
-                xsr0 * S + jnp.arange(S, dtype=jnp.int32)[None, :]]  # [C, S]
+        def dyn(idx, tab, n, out_int=False):
+            """tab[idx] with tab [n] or [n, K]: one-hot dot when small."""
+            if not small:
+                out = tab[idx]
+            else:
+                out = jnp.tensordot(oh(idx, n), tab.astype(jnp.float32),
+                                    axes=[[-1], [0]], precision=hp)
+            return out.astype(jnp.int32) if out_int else out
 
-            alpha, (hist, xsr), ex, (exh, _) = hmm_step(
-                alpha0, (hist0, xsr0), sen_c, self._tp)
+        def core(hmmc, inputs):
+            alpha0, hist0, xsr0, hw20, hw10 = hmmc
+            xs_t, la_t, t, valid = inputs
+            if small:
+                # sen_c[c,s] = xs_t[xsr0[c,s], s] as a batched one-hot dot.
+                sen_c = jnp.einsum('csx,xs->cs', oh(xsr0, g.n_xs), xs_t,
+                                   precision=hp)
+            else:
+                sen_c = xs_t.reshape(-1)[
+                    xsr0 * S + jnp.arange(S, dtype=jnp.int32)[None, :]]
+
+            alpha, (hist, xsr, hw2, hw1), ex, (exh, _, exh2, exh1) = hmm_step(
+                alpha0, (hist0, xsr0, hw20, hw10), sen_c, self._tp)
 
             if self.prune:
                 # Channel beam + word-exit beam relative to the frame best
@@ -259,37 +321,46 @@ class NgramSearch:
 
             # ---- word exits: per-variant readout [W, Vr] ----
             exv = jnp.where(self._exit_tab >= 0,
-                            ex[self._exit_tab_c], neg)           # [W, Vr]
+                            dyn(self._exit_tab_c, ex, C), neg)   # [W, Vr]
             wex = jnp.max(exv, axis=1)                           # [W]
             vwin = jnp.argmax(exv, axis=1)                       # [W]
-            wexh = exh[jnp.take_along_axis(
-                self._exit_tab_c, vwin[:, None], axis=1)[:, 0]]  # [W]
+            # Exit channel id + its history payloads for the winning
+            # variant, read in one pass.
+            exh3 = jnp.stack([exh, exh2, exh1], -1).astype(jnp.float32)
+            if small:
+                sel_oh = jnp.einsum('wv,wvc->wc', oh(vwin, Vr),
+                                    oh(self._exit_tab_c, C), precision=hp)
+                wexh3 = jnp.einsum('wc,ch->wh', sel_oh, exh3,
+                                   precision=hp).astype(jnp.int32)
+            else:
+                sel = jnp.take_along_axis(
+                    self._exit_tab_c, vwin[:, None], axis=1)[:, 0]
+                wexh3 = exh3[sel].astype(jnp.int32)
 
             # ---- top-E word exits -> tape slots ----
             vals, wsel = jax.lax.top_k(wex, E)
             ok = (vals > neg * 0.5) & valid
-            slot_rc = exv[wsel]                                  # [E, Vr]
-            pe = wexh[wsel]                                      # prev slot (-1 = <s>)
-            pc = jnp.maximum(pe, 0)
-            prev_h2 = jnp.where(pe >= 0, th20[pc], start_h)
-            prev_h1 = jnp.where(pe >= 0, th10[pc], -1)
-            wl = self._lmwid[wsel]
-            fil = self._is_filler[wsel]
+            slot_rc = dyn(wsel, exv, W)                          # [E, Vr]
+            peh = dyn(wsel, wexh3, W, out_int=True)              # [E, 3]
+            pe = peh[:, 0]                                       # prev slot (-1 = <s>)
+            prev_h2 = peh[:, 1]
+            prev_h1 = peh[:, 2]
+            wl = dyn(wsel, self._lmwid, W, out_int=True)
+            fil = dyn(wsel, self._is_filler.astype(jnp.int32), W,
+                      out_int=True) > 0
             h2 = jnp.where(fil, prev_h2, wl)
             h1 = jnp.where(fil, prev_h1, prev_h2)
-            slot_ids = t * E + jnp.arange(E, dtype=jnp.int32)
-            upd = jax.lax.dynamic_update_slice
-            tw = upd(tw0, jnp.where(ok, wsel, -1), (t * E,))
-            tsc = upd(tsc0, jnp.where(ok, vals, neg), (t * E,))
-            tprev = upd(tprev0, pe, (t * E,))
-            th2 = upd(th20, h2, (t * E,))
-            th1 = upd(th10, h1, (t * E,))
-            trc = upd(trc0, jnp.where(ok[:, None], slot_rc, neg), (t * E, 0))
+            yrow = (jnp.where(ok, wsel, -1), jnp.where(ok, vals, neg),
+                    pe, h2, h1, jnp.where(ok[:, None], slot_rc, neg))
 
             # ---- word entries (take effect next frame) ----
             if use_rows:
                 rows = self.dlm.score_rows(h1, h2)               # [E, Vlm]
-                lmw = jnp.take(rows, self._lmwid_c, axis=1)      # [E, W]
+                if small:
+                    lmw = jnp.einsum('ev,wv->ew', rows,
+                                     oh(self._lmwid_c, Vlm), precision=hp)
+                else:
+                    lmw = jnp.take(rows, self._lmwid_c, axis=1)  # [E, W]
             else:
                 lmw = self.dlm.score_tg(
                     h1[:, None], h2[:, None],
@@ -303,41 +374,74 @@ class NgramSearch:
             if Vr == 1:
                 ac = slot_rc                                     # [E, 1]
             else:
-                rcv = self._rssid[wsel][:, self._firstci]        # [E, W]
-                ac = jnp.take_along_axis(slot_rc, rcv, axis=1)   # [E, W]
+                rcv = dyn(wsel, self._rssid[:, self._firstci], W,
+                          out_int=True)                          # [E, W]
+                if small:
+                    ac = jnp.einsum('ewv,ev->ew', oh(rcv, Vr), slot_rc,
+                                    precision=hp)
+                else:
+                    ac = jnp.take_along_axis(slot_rc, rcv, axis=1)
             cand = jnp.where(ok[:, None], ac + bonus, neg)
             # Single best entry per word (word_transition semantics).
             ent_w = jnp.max(cand, axis=0)                        # [W]
             estar = jnp.argmax(cand, axis=0)                     # [W]
             has_ent = ent_w > neg * 0.5
-            ebp_w = jnp.where(has_ent, slot_ids[estar], -1)
-            lcstar = self._lastci[wsel][estar]                   # [W]
+            ebp_w = jnp.where(has_ent, t * E + estar, -1)
+            eh = dyn(estar, jnp.stack(
+                [dyn(wsel, self._lastci, W, out_int=True), h2, h1],
+                -1).astype(jnp.float32), E, out_int=True)        # [W, 3]
+            lcstar, eh2_w, eh1_w = eh[:, 0], eh[:, 1], eh[:, 2]
 
             # Entry channel routing: score + mpx xs row by left context.
             wo = self._word_of
-            ent_c = jnp.where(self._is_entry, ent_w[wo], neg)
-            ent_xs_c = self._lcmap.reshape(-1)[
-                self._lc_row * g.n_ci + lcstar[wo]]
-            ent_bp_c = ebp_w[wo]
+            entw4 = jnp.stack(
+                [ent_w, ebp_w.astype(jnp.float32),
+                 eh2_w.astype(jnp.float32),
+                 eh1_w.astype(jnp.float32)], -1)                 # [W, 4]
+            entc4 = dyn(wo, entw4, W)                            # [C, 4]
+            ent_c = entc4[:, 0]
+            ent_bp_c = entc4[:, 1].astype(jnp.int32)
+            ent_h2_c = entc4[:, 2].astype(jnp.int32)
+            ent_h1_c = entc4[:, 3].astype(jnp.int32)
+            lcstar_c = dyn(wo, lcstar, W, out_int=True)          # [C]
+            if small:
+                # lcmap[lc_row[c], lcstar_c[c]]: static row gather hoisted,
+                # dynamic column as a one-hot contraction over n_ci.
+                lcmap_sel = self._lcmap[self._lc_row].astype(jnp.float32)
+                ent_xs_c = jnp.einsum('cn,cn->c', oh(lcstar_c, g.n_ci),
+                                      lcmap_sel,
+                                      precision=hp).astype(jnp.int32)
+            else:
+                ent_xs_c = self._lcmap.reshape(-1)[
+                    self._lc_row * g.n_ci + lcstar_c]
 
             # ---- within-word propagation: in-degree <= 1 -> pure gather ----
             has_prev = self._prev_chan >= 0
-            prop = jnp.where(has_prev, ex[self._prev_chan_c] + log_pip, neg)
-            bprop = jnp.where(has_prev, exh[self._prev_chan_c], -1)
+            prev4 = jnp.stack([ex, exh3[:, 0], exh3[:, 1], exh3[:, 2]], -1)
+            prop4 = dyn(self._prev_chan_c, prev4, C)             # [C, 4]
+            prop = jnp.where(has_prev, prop4[:, 0] + log_pip, neg)
+            bprop = jnp.where(has_prev, prop4[:, 1].astype(jnp.int32), -1)
 
             entry_c = jnp.where(self._is_entry, ent_c, prop)
             entry_b = jnp.where(self._is_entry, ent_bp_c, bprop)
             entry_x = jnp.where(self._is_entry, ent_xs_c, self._static_xs)
-            alpha, (hist, xsr) = hmm_enter(alpha, (hist, xsr), entry_c,
-                                           (entry_b, entry_x))
+            entry_h2 = jnp.where(self._is_entry, ent_h2_c,
+                                 prop4[:, 2].astype(jnp.int32))
+            entry_h1 = jnp.where(self._is_entry, ent_h1_c,
+                                 prop4[:, 3].astype(jnp.int32))
+            alpha, (hist, xsr, hw2, hw1) = hmm_enter(
+                alpha, (hist, xsr, hw2, hw1), entry_c,
+                (entry_b, entry_x, entry_h2, entry_h1))
 
             # Padded frames are identity.
             alpha = jnp.where(valid, alpha, alpha0)
             hist = jnp.where(valid, hist, hist0)
             xsr = jnp.where(valid, xsr, xsr0)
-            return (alpha, hist, xsr, (tw, tsc, tprev, th2, th1, trc)), None
+            hw2 = jnp.where(valid, hw2, hw20)
+            hw1 = jnp.where(valid, hw1, hw10)
+            return (alpha, hist, xsr, hw2, hw1), yrow
 
-        return step
+        return core
 
     # ------------------------------------------------------------------
     FRAME_BUCKET = 100
@@ -364,23 +468,103 @@ class NgramSearch:
             la = jnp.float32(self.pl_weight) * jnp.stack(shifts).max(0)
         else:
             la = jnp.zeros((Tpad, 1), jnp.float32)
-        alpha = jnp.full((g.n_chan, g.n_emit_state), NEG_INF)
-        hist = jnp.full((g.n_chan, g.n_emit_state), -1, jnp.int32)
-        xsr = jnp.broadcast_to(self._static_xs[:, None],
-                               (g.n_chan, g.n_emit_state)).astype(jnp.int32)
-        alpha, (hist, xsr) = hmm_enter(
-            alpha, (hist, xsr), self._entc0,
-            (jnp.full((g.n_chan,), -1, jnp.int32), self._entxs0))
-        B = Tpad * E
-        tape = (jnp.full((B,), -1, jnp.int32), jnp.full((B,), NEG_INF),
-                jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
-                jnp.full((B,), -1, jnp.int32),
-                jnp.full((B, g.n_rcvar), NEG_INF))
-        (alpha, hist, xsr, tape), _ = jax.lax.scan(
-            self._step_fn, (alpha, hist, xsr, tape),
-            (scores, la, jnp.arange(Tpad, dtype=jnp.int32), valid),
+        xs = self._xscores_all(scores)                           # [T, n_xs, S]
+        hmmc = self._init_hmmc()
+        _, ys = jax.lax.scan(
+            self._core, hmmc,
+            (xs, la, jnp.arange(Tpad, dtype=jnp.int32), valid),
             unroll=self.SCAN_UNROLL)
-        return tape
+        # ys: ([T, E] x5, [T, E, Vr]) -> flat [T*E] tape arrays (same layout
+        # the host results layer indexes by slot = t*E + e).
+        tw, tsc, tprev, th2, th1, trc = ys
+        B = Tpad * E
+        return (tw.reshape(B), tsc.reshape(B), tprev.reshape(B),
+                th2.reshape(B), th1.reshape(B),
+                trc.reshape(B, g.n_rcvar))
+
+    # ------------------------------------------------------------------
+    def device_backtrace(self, tape, T):
+        """1-best readout entirely ON DEVICE: final-slot selection (silence
+        right context + P(</s>|h), ngram_search_finish semantics) plus the
+        backpointer chase.  Batched decode then transfers only small
+        [Tpad]-length segment arrays instead of the full tape — the tape
+        stays device-resident for get_lattice/bestpath, which fetch it
+        lazily.  Mirrors the host _final_slot/_backtrace pair."""
+        tw, tsc, tprev, th2, th1, trc = tape
+        E = self.E
+        neg = jnp.float32(NEG_INF)
+        n_slots = tw.shape[0]
+        sidx = jnp.arange(n_slots, dtype=jnp.int32)
+        twc = jnp.maximum(tw, 0)
+        valid = (tw >= 0) & (sidx < T * E)
+        rc = trc[sidx, self._rssid[twc, self.sil_ci]]
+        s = jnp.where(rc > neg * 0.5, rc, tsc)
+        tg = self.dlm.score_tg(
+            th1, th2, jnp.full((n_slots,), self.finish_lmwid, jnp.int32))
+        s = s + jnp.where(self._is_finish_d[twc], 0.0,
+                          jnp.float32(self.lw) * tg)
+        s = jnp.where(valid, s, neg)
+        frame = sidx // E
+        fbest = jnp.max(jnp.where(valid, frame, -1))
+        cand = valid & (frame == fbest)
+        scand = jnp.where(cand, s, neg)
+        slot0 = jnp.argmax(scand).astype(jnp.int32)
+        score = scand[slot0]
+        slot0 = jnp.where(fbest >= 0, slot0, -1)
+
+        # Pointer chase as a while_loop: the chain length is the number of
+        # words (<= T/3 since every word occupies >= 3 frames: 3-state
+        # Bakis, no skip past the last state), and under vmap the loop runs
+        # only until the LONGEST lane finishes (~tens of iterations)
+        # instead of a fixed Tpad-length scan.  Outputs are packed into ONE
+        # int array + ONE float array so the host fetch is two transfers,
+        # not five (each D2H costs a full tunnel round trip).
+        maxseg = n_slots // (3 * E) + 2
+        ints0 = jnp.full((3, maxseg), -1, jnp.int32)
+        flts0 = jnp.full((maxseg + 1,), neg)
+
+        def cond(c):
+            return (c[0] >= 0) & (c[1] < maxseg)
+
+        def body(c):
+            slot, i, ints, flts = c
+            ok = slot >= 0
+            s0 = jnp.maximum(slot, 0)
+            prev = tprev[s0]
+            start = jnp.where(prev >= 0, prev // E + 1, 0)
+            ii = jnp.minimum(i, maxseg - 1)
+            col = jnp.stack([tw[s0], start, s0 // E])
+            ints = ints.at[:, ii].set(jnp.where(ok, col, ints[:, ii]))
+            flts = flts.at[ii].set(jnp.where(ok, tsc[s0], flts[ii]))
+            return (jnp.where(ok, prev, -1), i + ok.astype(jnp.int32),
+                    ints, flts)
+
+        _, _, ints, flts = jax.lax.while_loop(
+            cond, body, (slot0, jnp.int32(0), ints0, flts0))
+        flts = flts.at[maxseg].set(score)
+        return ints, flts
+
+    def _hyp_from_chase(self, ints, flts) -> Hypothesis:
+        """Host assembly of a Hypothesis from device_backtrace outputs
+        (emitted final-word-first; ints [3, maxseg] = word/start/end rows,
+        flts [maxseg+1] = slot scores + final score)."""
+        v = self.vocab
+        (ks, sts, ens), scs, score = ints, flts[:-1], flts[-1]
+        segs: List[Segment] = []
+        for k, st, en, sc in zip(ks, sts, ens, scs):
+            if k < 0:
+                break
+            segs.append(Segment(v.word_str[int(k)], int(st), int(en),
+                                float(sc)))
+        if not segs:
+            return Hypothesis([], float("-inf"), [])
+        segs.reverse()
+        words = []
+        for s in segs:
+            wid = self.dict.wordid(s.word)
+            if wid < 0 or not self.dict.is_filler(wid):
+                words.append(self.dict.base_str(wid) if wid >= 0 else s.word)
+        return Hypothesis(words, float(score), segs)
 
     # ------------------------------------------------------------------
     # Streaming decode: the scan carry lives on device BETWEEN chunks, so
@@ -397,13 +581,7 @@ class NgramSearch:
         an occasional reallocation+recompile instead of an error
         (acmod_set_grow semantics, pocketsphinx acmod.c)."""
         g, E = self.graph, self.E
-        alpha = jnp.full((g.n_chan, g.n_emit_state), NEG_INF)
-        hist = jnp.full((g.n_chan, g.n_emit_state), -1, jnp.int32)
-        xsr = jnp.broadcast_to(self._static_xs[:, None],
-                               (g.n_chan, g.n_emit_state)).astype(jnp.int32)
-        alpha, (hist, xsr) = hmm_enter(
-            alpha, (hist, xsr), self._entc0,
-            (jnp.full((g.n_chan,), -1, jnp.int32), self._entxs0))
+        hmmc = self._init_hmmc()
         B = max_frames * E
         tape = (jnp.full((B,), -1, jnp.int32), jnp.full((B,), NEG_INF),
                 jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
@@ -411,6 +589,18 @@ class NgramSearch:
                 jnp.full((B, g.n_rcvar), NEG_INF))
         W = self.pl_window
         if not hasattr(self, "_chunk_fn"):
+            def sstep(carry, inputs):
+                hmmc0, tape0 = carry[:5], carry[5]
+                hmmc1, y = self._core(hmmc0, inputs)
+                t = inputs[2]
+                tw, tsc, pe, h2, h1, rc = y
+                tw0, tsc0, tprev0, th20, th10, trc0 = tape0
+                upd = jax.lax.dynamic_update_slice
+                tape1 = (upd(tw0, tw, (t * E,)), upd(tsc0, tsc, (t * E,)),
+                         upd(tprev0, pe, (t * E,)), upd(th20, h2, (t * E,)),
+                         upd(th10, h1, (t * E,)), upd(trc0, rc, (t * E, 0)))
+                return hmmc1 + (tape1,), None
+
             def chunk(carry, scores_ext, t0, valid):
                 # scores_ext has CHUNK + pl_window frames: the lookahead
                 # window of every emitted frame is fully inside the
@@ -426,12 +616,11 @@ class NgramSearch:
                     la = jnp.float32(self.pl_weight) * jnp.stack(shifts).max(0)
                 else:
                     la = jnp.zeros((self.CHUNK, 1), jnp.float32)
-                carry, _ = jax.lax.scan(self._step_fn, carry,
-                                        (scores_ext[: self.CHUNK], la, ts,
-                                         valid))
+                xs = self._xscores_all(scores_ext[: self.CHUNK])
+                carry, _ = jax.lax.scan(sstep, carry, (xs, la, ts, valid))
                 return carry
             self._chunk_fn = jax.jit(chunk)
-        return {"carry": (alpha, hist, xsr, tape), "t": 0,
+        return {"carry": hmmc + (tape,), "t": 0,
                 "max_frames": max_frames,
                 "pending": np.zeros((0, 0), np.float32)}
 
@@ -440,7 +629,7 @@ class NgramSearch:
         while state["t"] + need_frames > state["max_frames"]:
             E, g = self.E, self.graph
             grow = state["max_frames"] * E  # double
-            alpha, hist, xsr, tape = state["carry"]
+            hmmc, tape = state["carry"][:5], state["carry"][5]
             tw, tsc, tprev, th2, th1, trc = tape
             tape = (
                 jnp.concatenate([tw, jnp.full((grow,), -1, jnp.int32)]),
@@ -450,7 +639,7 @@ class NgramSearch:
                 jnp.concatenate([th1, jnp.full((grow,), -1, jnp.int32)]),
                 jnp.concatenate([trc, jnp.full((grow, g.n_rcvar), NEG_INF)]),
             )
-            state["carry"] = (alpha, hist, xsr, tape)
+            state["carry"] = hmmc + (tape,)
             state["max_frames"] *= 2
 
     def stream_push(self, state: dict, feats: np.ndarray) -> dict:
@@ -509,14 +698,14 @@ class NgramSearch:
         stream; the buffered remainder is not included."""
         if state["t"] == 0:
             return Hypothesis([], float("-inf"), [])
-        tape = tuple(np.asarray(a) for a in state["carry"][3])
+        tape = tuple(np.asarray(a) for a in state["carry"][5])
         return self._backtrace(*tape, state["t"])
 
     def stream_end(self, state: dict) -> Hypothesis:
         """Finish the stream: flush the remainder and return the final
         hypothesis; the lattice is available via get_lattice()."""
         T = self._stream_flush(state)
-        tape = tuple(np.asarray(a) for a in state["carry"][3])
+        tape = tuple(np.asarray(a) for a in state["carry"][5])
         self._last = tape + (T,)
         return self._backtrace(*tape, T)
 
@@ -528,14 +717,20 @@ class NgramSearch:
         T = int(feats.shape[0])
         if T == 0:
             return Hypothesis([], float("-inf"), [])
+        if not hasattr(self, "_single_fn"):
+            def _full1(f, v, T):
+                tape = self.device_decode(f, v)
+                return tape, self.device_backtrace(tape, T)
+            self._single_fn = jax.jit(_full1)
         Tpad = -(-T // self.FRAME_BUCKET) * self.FRAME_BUCKET
         fpad = np.zeros((Tpad, feats.shape[1]), np.float32)
         fpad[:T] = feats
         valid = jnp.arange(Tpad) < T
-        tape = self.device_decode(jnp.asarray(fpad), valid)
-        tape = tuple(np.asarray(a) for a in tape)
-        self._last = tape + (T,)
-        hyp = self._backtrace(*tape, T)
+        tape, (ints, flts) = self._single_fn(jnp.asarray(fpad), valid,
+                                             jnp.int32(T))
+        self._last = tuple(tape) + (T,)
+        self._last_batch = None
+        hyp = self._hyp_from_chase(np.asarray(ints), np.asarray(flts))
         if bestpath is None:
             bestpath = bool(self.config["bestpath"])
         if bestpath and hyp.segments:
@@ -557,45 +752,61 @@ class NgramSearch:
         D = int(feats_list[0].shape[1])
         Ts = [int(f.shape[0]) for f in feats_list]
         if not hasattr(self, "_batch_fn"):
-            self._batch_fn = jax.jit(jax.vmap(self.device_decode))
+            def _full(f, v, T):
+                tape = self.device_decode(f, v)
+                return tape, self.device_backtrace(tape, T)
+            self._batch_fn = jax.jit(jax.vmap(_full))
         # ONE bucket: the scan is the serial axis, so total device time is
-        # driven by the number of scan steps (sum of per-group Tpad), not by
-        # padded-frame count — utterances run in parallel in the vmapped
-        # batch axis.  Padding waste only costs senone-scoring FLOPs, which
-        # are a minor term.  Split into groups only when padding would more
-        # than double the scored frames AND the corpus is long enough for
-        # the extra scan launches to amortize.
-        Tmax = -(-max(max(Ts), 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
-        pad_frames = Tmax * len(Ts)
-        groups: dict = {}
-        if pad_frames <= 2 * sum(Ts) or len(Ts) < 8:
-            groups[Tmax] = list(range(len(Ts)))
-        else:
-            for i, T in enumerate(Ts):
-                Tpad = -(-max(T, 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
-                groups.setdefault(Tpad, []).append(i)
-        out: List[Optional[Hypothesis]] = [None] * len(feats_list)
+        # driven by the number of scan steps (Tmax — utterances run in
+        # parallel in the vmapped batch axis), and per-step cost is
+        # dominated by fixed op overhead, not per-utterance work.  Splitting
+        # into per-length groups was measured SLOWER on-chip (sum of group
+        # Tmaxes > Tmax in scan steps) on top of per-launch tunnel latency.
+        Tpad = -(-max(max(Ts), 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
+        B = len(Ts)
+        fpad = np.zeros((B, Tpad, D), np.float32)
+        for i, f in enumerate(feats_list):
+            fpad[i, : Ts[i]] = f
+        valid = np.arange(Tpad)[None, :] < np.asarray(Ts)[:, None]
+        tapes, (ints, flts) = self._batch_fn(
+            jnp.asarray(fpad), jnp.asarray(valid),
+            jnp.asarray(Ts, dtype=jnp.int32))
+        # Only the two small chase arrays cross the tunnel; the tape stays
+        # on device unless bestpath/get_lattice needs it (then it is pulled
+        # in ONE bulk transfer per array and sliced on host).
+        ints, flts = np.asarray(ints), np.asarray(flts)
         bp = bool(self.config["bestpath"]) if bestpath is None else bestpath
-        for Tpad, idxs in groups.items():
-            fpad = np.zeros((len(idxs), Tpad, D), np.float32)
-            for r, i in enumerate(idxs):
-                fpad[r, : Ts[i]] = feats_list[i]
-            valid = np.arange(Tpad)[None, :] < np.asarray(
-                [Ts[i] for i in idxs])[:, None]
-            tapes = jax.device_get(self._batch_fn(jnp.asarray(fpad),
-                                                  jnp.asarray(valid)))
-            for r, i in enumerate(idxs):
-                tape = tuple(np.asarray(a[r]) for a in tapes)
-                self._last = tape + (Ts[i],)
-                hyp = self._backtrace(*tape, Ts[i])
-                if bp and hyp.segments:
-                    h2 = self.get_lattice().bestpath(
-                        lw=float(self.config["bestpathlw"]),
-                        start_lmwid=self.start_lmwid)
-                    if h2.segments:
-                        hyp = h2
-                out[i] = hyp
+        self._last = None
+        self._last_batch = (tapes, Ts, B - 1)
+        htapes = self._batch_host_tapes() if bp else None
+        out: List[Hypothesis] = []
+        for i in range(B):
+            hyp = self._hyp_from_chase(ints[i], flts[i])
+            if bp and hyp.segments:
+                self._last = tuple(a[i] for a in htapes) + (Ts[i],)
+                h2 = self.get_lattice().bestpath(
+                    lw=float(self.config["bestpathlw"]),
+                    start_lmwid=self.start_lmwid)
+                if h2.segments:
+                    hyp = h2
+            out.append(hyp)
         return out
+
+    def _batch_host_tapes(self):
+        """Materialize the last batch's tapes on host (cached; one bulk
+        D2H per tape array)."""
+        tapes, Ts, _ = self._last_batch
+        if not isinstance(tapes[0], np.ndarray):
+            tapes = tuple(np.asarray(a) for a in tapes)
+            self._last_batch = (tapes, Ts, self._last_batch[2])
+        return tapes
+
+    def select_utt(self, i: int) -> None:
+        """Point get_lattice/hyp state at utterance `i` of the most recent
+        decode_batch."""
+        htapes = self._batch_host_tapes()
+        Ts = self._last_batch[1]
+        self._last = tuple(a[i] for a in htapes) + (Ts[i],)
 
     # ------------------------------------------------------------------
     def _slot_rc_score(self, trc_row: np.ndarray, k: int, ci: int) -> float:
@@ -606,8 +817,13 @@ class NgramSearch:
         """Word lattice for the most recent utterance (ps_get_lattice)."""
         from .lattice import LatNode, Lattice
         if self._last is None:
-            raise RuntimeError("no utterance decoded yet")
-        tw, tsc, tprev, th2, th1, trc, T = self._last
+            if getattr(self, "_last_batch", None) is not None:
+                self.select_utt(self._last_batch[2])
+            else:
+                raise RuntimeError("no utterance decoded yet")
+        tw, tsc, tprev, th2, th1, trc = (
+            np.asarray(a) for a in self._last[:6])
+        T = self._last[6]
         g, v, E = self.graph, self.vocab, self.E
         nodes = []
         for slot in range(T * E):

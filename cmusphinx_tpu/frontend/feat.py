@@ -171,36 +171,87 @@ class FeatPipeline:
         self.out_dim = ldadim if ldadim > 0 else mat.shape[0]
 
     # ------------------------------------------------------------------
-    def compute(self, cep: np.ndarray, batch_cmn: bool = True) -> np.ndarray:
-        """Batch (whole-utterance) path: [T, ncep] -> [T, D].
+    # Batch path: to avoid one XLA compile per utterance length (and, on a
+    # remote device, one dispatch per op in eager mode), utterances are
+    # zero-padded up to a multiple of T_BUCKET and run through ONE jitted
+    # masked kernel; `compute_batch` further vmaps it over a whole corpus so
+    # feature extraction is a single device call.
+    T_BUCKET = 100
 
-        Equivalent to feat_s2mfc2feat_block_utt with beginutt=endutt=1:
-        replicate-pad by the feature window FIRST, then CMN over the padded
-        block (feat_compute_utt runs cmn over nfr = T + 2*win frames — the
-        padding frames are included in the CMN statistics), AGC, deltas, LDA.
-        """
-        cep = jnp.asarray(cep, jnp.float32)
+    def _padded_kernel(self, cep_pad, T, batch_cmn: bool):
+        """[Tp, ncep] zero-padded cepstra + true length T -> [Tp, D] feats.
+
+        Rows >= T of the output replicate the final frame (harmless; callers
+        slice [:T]).  Matches feat_s2mfc2feat_block_utt beginutt=endutt=1
+        semantics: replicate-pad by the window FIRST, then CMN over the
+        padded block of T + 2*window frames (feat_compute_utt includes the
+        padding frames in the CMN statistics), AGC, deltas, LDA."""
         w = self.window
-        if w:
-            cep = jnp.concatenate([
-                jnp.repeat(cep[:1], w, axis=0), cep,
-                jnp.repeat(cep[-1:], w, axis=0)])
+        Tp = cep_pad.shape[0]
+        # Replicate padding via clamped gather — works for any T <= Tp.
+        idx = jnp.clip(jnp.arange(Tp + 2 * w, dtype=jnp.int32) - w, 0, T - 1)
+        pad = cep_pad[idx]                                  # [Tp+2w, ncep]
+        nvalid = (T + 2 * w).astype(jnp.float32)
+        mask = (jnp.arange(Tp + 2 * w) < T + 2 * w)[:, None]
         if self.cmn_type == "current" and batch_cmn:
-            mean = jnp.mean(cep, axis=0, keepdims=True)
+            mean = jnp.sum(jnp.where(mask, pad, 0.0), axis=0,
+                           keepdims=True) / nvalid
             if self.varnorm:
-                var = jnp.mean(jnp.square(cep - mean), axis=0, keepdims=True)
-                cep = (cep - mean) / jnp.sqrt(var)
+                var = jnp.sum(jnp.where(mask, jnp.square(pad - mean), 0.0),
+                              axis=0, keepdims=True) / nvalid
+                pad = (pad - mean) / jnp.sqrt(var)
             else:
-                cep = cep - mean
+                pad = pad - mean
         elif self.cmn_type == "prior":
-            cep = cep - jnp.asarray(self._cmn_mean)[None, :]
+            pad = pad - jnp.asarray(self._cmn_mean)[None, :]
         if self.agc_type == "max":
-            cep = cep.at[:, 0].add(-jnp.max(cep[:, 0]))
-        feats = self._dynamic(cep, padded=True)
+            c0max = jnp.max(jnp.where(mask[:, 0], pad[:, 0], -jnp.inf))
+            pad = pad.at[:, 0].add(-c0max)
+        feats = self._dynamic(pad, padded=True)
         if self.lda is not None:
             feats = jnp.dot(feats, jnp.asarray(self.lda[: self.out_dim]).T,
                             precision=jax.lax.Precision.HIGHEST)
         return feats
+
+    def _bucket_fn(self, Tp: int, batch_cmn: bool, batched: bool):
+        cache = getattr(self, "_jit_cache", None)
+        if cache is None:
+            cache = self._jit_cache = {}
+        key = (Tp, batch_cmn, batched)
+        if key not in cache:
+            fn = lambda c, T: self._padded_kernel(c, T, batch_cmn)  # noqa: E731
+            if batched:
+                fn = jax.vmap(fn)
+            cache[key] = jax.jit(fn)
+        return cache[key]
+
+    def compute(self, cep: np.ndarray, batch_cmn: bool = True) -> np.ndarray:
+        """Batch (whole-utterance) path: [T, ncep] -> [T, D]."""
+        cep = np.asarray(cep, np.float32)
+        T = cep.shape[0]
+        Tp = -(-max(T, 1) // self.T_BUCKET) * self.T_BUCKET
+        cpad = np.zeros((Tp, cep.shape[1]), np.float32)
+        cpad[:T] = cep
+        fn = self._bucket_fn(Tp, batch_cmn, batched=False)
+        return fn(jnp.asarray(cpad), jnp.int32(T))[:T]
+
+    def compute_batch(self, ceps: Sequence[np.ndarray],
+                      batch_cmn: bool = True) -> List[np.ndarray]:
+        """Whole-corpus path: list of [T_i, ncep] -> list of [T_i, D] in ONE
+        vmapped device call (utterance-level data parallelism, SURVEY §2.10
+        P1/P3)."""
+        if not len(ceps):
+            return []
+        Ts = [int(c.shape[0]) for c in ceps]
+        Tp = -(-max(max(Ts), 1) // self.T_BUCKET) * self.T_BUCKET
+        n = int(ceps[0].shape[1])
+        cpad = np.zeros((len(ceps), Tp, n), np.float32)
+        for i, c in enumerate(ceps):
+            cpad[i, : Ts[i]] = np.asarray(c, np.float32)
+        fn = self._bucket_fn(Tp, batch_cmn, batched=True)
+        out = np.asarray(fn(jnp.asarray(cpad),
+                            jnp.asarray(Ts, dtype=jnp.int32)))
+        return [out[i, : Ts[i]] for i in range(len(ceps))]
 
     def _dynamic(self, cep, padded: bool = False):
         """Compute the configured dynamic feature layout.  `cep` is either the
