@@ -361,6 +361,21 @@ class NgramSearch:
                                      oh(self._lmwid_c, Vlm), precision=hp)
                 else:
                     lmw = jnp.take(rows, self._lmwid_c, axis=1)  # [E, W]
+            elif small:
+                # Dense-table trigram lookup as two one-hot matmuls (the
+                # [E, W] element gather off tg_dense profiled at ~53us per
+                # frame — 2/3 of the whole scan step).  Row = (h1, h2)
+                # plane select over (V+1)^2; column = static vocab map.
+                dn = self.dlm.tg_dense                           # [V1,V1,V]
+                V1 = dn.shape[0]
+                i1 = jnp.where(h1 < 0, Vlm, h1)
+                i2 = jnp.where(h2 < 0, Vlm, h2)
+                plane = dn.reshape(V1 * V1, Vlm)
+                rows_all = jnp.tensordot(oh(i1 * V1 + i2, V1 * V1), plane,
+                                         axes=[[-1], [0]],
+                                         precision=hp)           # [E, Vlm]
+                lmw = jnp.einsum('ev,wv->ew', rows_all,
+                                 oh(self._lmwid_c, Vlm), precision=hp)
             else:
                 lmw = self.dlm.score_tg(
                     h1[:, None], h2[:, None],
@@ -517,39 +532,42 @@ class NgramSearch:
         # Bakis, no skip past the last state), and under vmap the loop runs
         # only until the LONGEST lane finishes (~tens of iterations)
         # instead of a fixed Tpad-length scan.  Outputs are packed into ONE
-        # int array + ONE float array so the host fetch is two transfers,
-        # not five (each D2H costs a full tunnel round trip).
+        # f32 array (word/start/end rows are exact integers < 2^24) so the
+        # host fetch is a single transfer — each D2H costs a full tunnel
+        # round trip.
         maxseg = n_slots // (3 * E) + 2
-        ints0 = jnp.full((3, maxseg), -1, jnp.int32)
-        flts0 = jnp.full((maxseg + 1,), neg)
+        out0 = jnp.full((4, maxseg + 1), neg)
+        out0 = out0.at[:3].set(-1.0)
 
         def cond(c):
             return (c[0] >= 0) & (c[1] < maxseg)
 
         def body(c):
-            slot, i, ints, flts = c
+            slot, i, out = c
             ok = slot >= 0
             s0 = jnp.maximum(slot, 0)
             prev = tprev[s0]
             start = jnp.where(prev >= 0, prev // E + 1, 0)
             ii = jnp.minimum(i, maxseg - 1)
-            col = jnp.stack([tw[s0], start, s0 // E])
-            ints = ints.at[:, ii].set(jnp.where(ok, col, ints[:, ii]))
-            flts = flts.at[ii].set(jnp.where(ok, tsc[s0], flts[ii]))
-            return (jnp.where(ok, prev, -1), i + ok.astype(jnp.int32),
-                    ints, flts)
+            col = jnp.stack([tw[s0].astype(jnp.float32),
+                             start.astype(jnp.float32),
+                             (s0 // E).astype(jnp.float32), tsc[s0]])
+            out = out.at[:, ii].set(jnp.where(ok, col, out[:, ii]))
+            return (jnp.where(ok, prev, -1), i + ok.astype(jnp.int32), out)
 
-        _, _, ints, flts = jax.lax.while_loop(
-            cond, body, (slot0, jnp.int32(0), ints0, flts0))
-        flts = flts.at[maxseg].set(score)
-        return ints, flts
+        _, _, out = jax.lax.while_loop(
+            cond, body, (slot0, jnp.int32(0), out0))
+        return out.at[3, maxseg].set(score)
 
-    def _hyp_from_chase(self, ints, flts) -> Hypothesis:
-        """Host assembly of a Hypothesis from device_backtrace outputs
-        (emitted final-word-first; ints [3, maxseg] = word/start/end rows,
-        flts [maxseg+1] = slot scores + final score)."""
+    def _hyp_from_chase(self, chase) -> Hypothesis:
+        """Host assembly of a Hypothesis from the packed device_backtrace
+        output [4, maxseg+1] (emitted final-word-first; rows = word, start,
+        end, score; chase[3, -1] = final path score)."""
         v = self.vocab
-        (ks, sts, ens), scs, score = ints, flts[:-1], flts[-1]
+        ks = chase[0, :-1].astype(np.int64)
+        sts = chase[1, :-1].astype(np.int64)
+        ens = chase[2, :-1].astype(np.int64)
+        scs, score = chase[3, :-1], chase[3, -1]
         segs: List[Segment] = []
         for k, st, en, sc in zip(ks, sts, ens, scs):
             if k < 0:
@@ -726,11 +744,10 @@ class NgramSearch:
         fpad = np.zeros((Tpad, feats.shape[1]), np.float32)
         fpad[:T] = feats
         valid = jnp.arange(Tpad) < T
-        tape, (ints, flts) = self._single_fn(jnp.asarray(fpad), valid,
-                                             jnp.int32(T))
+        tape, chase = self._single_fn(jnp.asarray(fpad), valid, jnp.int32(T))
         self._last = tuple(tape) + (T,)
         self._last_batch = None
-        hyp = self._hyp_from_chase(np.asarray(ints), np.asarray(flts))
+        hyp = self._hyp_from_chase(np.asarray(chase))
         if bestpath is None:
             bestpath = bool(self.config["bestpath"])
         if bestpath and hyp.segments:
@@ -768,20 +785,64 @@ class NgramSearch:
         for i, f in enumerate(feats_list):
             fpad[i, : Ts[i]] = f
         valid = np.arange(Tpad)[None, :] < np.asarray(Ts)[:, None]
-        tapes, (ints, flts) = self._batch_fn(
+        tapes, chase = self._batch_fn(
             jnp.asarray(fpad), jnp.asarray(valid),
             jnp.asarray(Ts, dtype=jnp.int32))
-        # Only the two small chase arrays cross the tunnel; the tape stays
-        # on device unless bestpath/get_lattice needs it (then it is pulled
-        # in ONE bulk transfer per array and sliced on host).
-        ints, flts = np.asarray(ints), np.asarray(flts)
+        # Only the small packed chase array crosses the tunnel; the tape
+        # stays on device unless bestpath/get_lattice needs it (then it is
+        # pulled in ONE bulk transfer per array and sliced on host).
+        chase = np.asarray(chase)
         bp = bool(self.config["bestpath"]) if bestpath is None else bestpath
         self._last = None
         self._last_batch = (tapes, Ts, B - 1)
         htapes = self._batch_host_tapes() if bp else None
         out: List[Hypothesis] = []
         for i in range(B):
-            hyp = self._hyp_from_chase(ints[i], flts[i])
+            hyp = self._hyp_from_chase(chase[i])
+            if bp and hyp.segments:
+                self._last = tuple(a[i] for a in htapes) + (Ts[i],)
+                h2 = self.get_lattice().bestpath(
+                    lw=float(self.config["bestpathlw"]),
+                    start_lmwid=self.start_lmwid)
+                if h2.segments:
+                    hyp = h2
+            out.append(hyp)
+        return out
+
+    def decode_batch_cep(self, cep_list, fp, bestpath: Optional[bool] = None
+                         ) -> List[Hypothesis]:
+        """Fused cepstra -> features -> decode -> backtrace in ONE device
+        program: ships [T, ncep] cepstra (13-dim) instead of computed
+        features (up to 51-dim for s2_4x), cutting host->device traffic
+        ~4x over a remote link.  `fp` is the FeatPipeline whose device
+        kernel runs inside the program (bit-identical features)."""
+        if not cep_list:
+            return []
+        Ts = [int(c.shape[0]) for c in cep_list]
+        n = int(cep_list[0].shape[1])
+        if not hasattr(self, "_batch_cep_fn"):
+            def _full(c, v, T):
+                f = fp._padded_kernel(c, T, True)
+                tape = self.device_decode(f, v)
+                return tape, self.device_backtrace(tape, T)
+            self._batch_cep_fn = jax.jit(jax.vmap(_full))
+        Tpad = -(-max(max(Ts), 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
+        B = len(Ts)
+        cpad = np.zeros((B, Tpad, n), np.float32)
+        for i, c in enumerate(cep_list):
+            cpad[i, : Ts[i]] = c
+        valid = np.arange(Tpad)[None, :] < np.asarray(Ts)[:, None]
+        tapes, chase = self._batch_cep_fn(
+            jnp.asarray(cpad), jnp.asarray(valid),
+            jnp.asarray(Ts, dtype=jnp.int32))
+        chase = np.asarray(chase)
+        bp = bool(self.config["bestpath"]) if bestpath is None else bestpath
+        self._last = None
+        self._last_batch = (tapes, Ts, B - 1)
+        htapes = self._batch_host_tapes() if bp else None
+        out: List[Hypothesis] = []
+        for i in range(B):
+            hyp = self._hyp_from_chase(chase[i])
             if bp and hyp.segments:
                 self._last = tuple(a[i] for a in htapes) + (Ts[i],)
                 h2 = self.get_lattice().bestpath(
