@@ -61,6 +61,7 @@ class WordGraph:
     n_ci: int
     n_emit_state: int
     rc_mode: str               # "fanout" | "composite"
+    lc_mode: str               # "mpx" | "composite"
     # xs (extended senone sequence) table: rows [0, n_sing) are singletons
     # (<=1 member per state), rows [n_sing, n_sing+n_comp) are composites.
     n_xs: int
@@ -155,8 +156,17 @@ class _XsTable:
 
 
 def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
-                     d2p: Dict2Pid, rc_mode: str = "fanout") -> WordGraph:
-    """Build the channel tables for `dict_wids` (search-vocabulary order)."""
+                     d2p: Dict2Pid, rc_mode: str = "fanout",
+                     lc_mode: str = "mpx") -> WordGraph:
+    """Build the channel tables for `dict_wids` (search-vocabulary order).
+
+    lc_mode="composite" replaces mpx word-begin channels with composite
+    left-context triphones (per-state max over all left contexts' senones,
+    the sphinx3 lextree composite-triphone treatment on the LEFT side,
+    lextree.c / srch_time_switch_tree.c).  Every channel's senone sequence
+    is then STATIC, which lets the large-vocabulary decode path precompute
+    the whole [T, C, S] senone expansion frame-parallel instead of
+    gathering per frame inside the scan."""
     nci = mdef.n_ciphone
     S = mdef.max_emit_state
     W = len(dict_wids)
@@ -220,11 +230,24 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
                     for rc in range(nci):
                         grid[lc, rc] = pid(b, lc, rc, WPOS_SINGLE)
                 tm = int(tmat_of[grid[d2p.sil, d2p.sil]])
-                if rc_mode == "composite":
+                if rc_mode == "composite" and lc_mode == "composite":
+                    # One fully-composite channel over the whole (lc, rc)
+                    # grid: static senone sequence.
+                    sxs = xs.of_composite(ssid_of[grid.reshape(-1)])
+                    info = ("c", intern_lcrow([sxs] * nci), sxs, tm)
+                elif rc_mode == "composite":
                     # One channel; lc row = composite-over-rc per lc.
                     row = [xs.of_composite(ssid_of[grid[lc]])
                            for lc in range(nci)]
                     info = ("c", intern_lcrow(row), row[d2p.sil], tm)
+                elif lc_mode == "composite":
+                    # Per-rc-variant channels, each composite over lc.
+                    cols, inv = np.unique(grid.T, axis=0, return_inverse=True)
+                    rows = []
+                    for v in range(len(cols)):
+                        sxs = xs.of_composite(ssid_of[cols[v]])
+                        rows.append((intern_lcrow([sxs] * nci), sxs))
+                    info = ("f", rows, inv.astype(np.int16), tm)
                 else:
                     # One channel per distinct rc column (unique over rc of
                     # the lc->pid column vector) = lrdiph_rc variants.
@@ -252,9 +275,14 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
         info = begin_cache.get((b, r))
         if info is None:
             tab = [pid(b, lc, r, WPOS_BEGIN) for lc in range(nci)]
-            row = [xs.of_ssid(int(ssid_of[p])) for p in tab]
-            info = (intern_lcrow(row), row[d2p.sil],
-                    int(tmat_of[tab[d2p.sil]]))
+            if lc_mode == "composite":
+                sxs = xs.of_composite(ssid_of[np.asarray(tab)])
+                info = (intern_lcrow([sxs] * nci), sxs,
+                        int(tmat_of[tab[d2p.sil]]))
+            else:
+                row = [xs.of_ssid(int(ssid_of[p])) for p in tab]
+                info = (intern_lcrow(row), row[d2p.sil],
+                        int(tmat_of[tab[d2p.sil]]))
             begin_cache[(b, r)] = info
         lcrow, sxs0, tm0 = info
         prev = add_chan(k, sxs0, tm0, lcrow, entry=True, base=b)
@@ -297,7 +325,7 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
              else np.zeros((1, nci), np.int32))
     return WordGraph(
         n_chan=len(static_xs), n_word=W, n_ci=nci, n_emit_state=S,
-        rc_mode=rc_mode,
+        rc_mode=rc_mode, lc_mode=lc_mode,
         n_xs=len(xs.rows), n_sing=n_sing,
         sing_sen=sing_sen, sing_valid=sing_valid,
         comp_mem=comp_mem, comp_valid=comp_valid,

@@ -50,7 +50,8 @@ from ..models.mdef import Mdef
 from ..models.ngram import NgramModel
 from ..models.ngram_device import DeviceNgram
 from ..models.tmat import TransitionMatrices
-from ..ops.hmm import NEG_INF, hmm_enter, hmm_step
+from ..ops.hmm import (NEG_INF, hmm_bands, hmm_enter, hmm_enter_bm,
+                       hmm_enter_sm, hmm_step, hmm_step_bm, hmm_step_sm)
 from ..utils.config import Arg, Config
 from .fsg_search import Hypothesis, Segment
 from .lexgraph import WordGraph, build_word_graph
@@ -75,6 +76,13 @@ NGRAM_ARGS = [
         "word-final channels, pocketsphinx alloc_all_rc) or 'composite' "
         "(sphinx3 composite triphones, scalable to large vocabularies); "
         "'auto' picks fanout below 1000 words"),
+    Arg("lcmode", str, "auto",
+        "Cross-word left-context handling: 'mpx' (multiplexed senone "
+        "sequences riding the Viterbi argmax, exact, pocketsphinx root-"
+        "channel semantics) or 'composite' (per-state max over left "
+        "contexts, sphinx3 lextree composite triphones — makes every "
+        "channel's senones static, enabling the frame-parallel large-"
+        "vocabulary decode path); 'auto' follows rcmode"),
     Arg("bestpath", bool, False,
         "Run lattice trigram rescoring after Viterbi (ps -bestpath)"),
     Arg("bestpathlw", float, 9.5, "Language weight for bestpath rescoring"),
@@ -148,8 +156,21 @@ class NgramSearch:
         if rc_mode == "auto":
             rc_mode = "fanout" if v.n_word < 1000 else "composite"
         self.rc_mode = rc_mode
+        lc_mode = str(cfg["lcmode"])
+        if lc_mode == "auto":
+            lc_mode = "mpx" if rc_mode == "fanout" else "composite"
         g = self.graph = build_word_graph(v.dict_wid, d, mdef,
-                                          Dict2Pid(mdef, d), rc_mode=rc_mode)
+                                          Dict2Pid(mdef, d), rc_mode=rc_mode,
+                                          lc_mode=lc_mode)
+        # Static-senone fast path: with composite left contexts every
+        # channel's senone row is fixed, so the [T, C, S] expansion is
+        # frame-parallel; within-word propagation additionally reduces to a
+        # shift when every chain channel's predecessor is the previous
+        # channel (the builder emits channels word-major, position-minor).
+        self._fast = g.lc_mode == "composite"
+        chain = np.arange(g.n_chan) - 1
+        self._chain_shift = bool(
+            np.all((g.prev_chan == -1) | (g.prev_chan == chain)))
         self.E = min(self.E, v.n_word)
         self.dlm = DeviceNgram(lm)
         self.start_lmwid = lm.word_id("<s>")
@@ -209,7 +230,14 @@ class NgramSearch:
         self._ent0 = ent0
         self._fil_pen_np = fp
         self._is_finish_d = jnp.asarray(v.is_finish)
-        self._core = self._make_core()
+        if self._fast:
+            self._exit_col = jnp.asarray(np.maximum(g.exit_tab[:, 0], 0))
+            self._tp_bands = tuple(jnp.asarray(b) for b in
+                                   hmm_bands(tmat.log_tp[g.tmat_idx]))
+            self._core_static = self._make_core_static()
+        else:
+            self._core = self._make_core(hoisted=True)
+            self._core_inline = self._make_core(hoisted=False)
         self._last: Optional[tuple] = None
         self._last_batch: Optional[tuple] = None
 
@@ -248,7 +276,371 @@ class NgramSearch:
              jnp.full((C,), -1, jnp.int32)))
         return alpha, hist, xsr, hw2, hw1
 
-    def _make_core(self):
+    def _expand_block(self, scores_blk):
+        """Frame-parallel static senone expansion for a block of K frames:
+        [K, n_sen] -> [K, C, S].  With composite left contexts every
+        channel's senone row is STATIC, so the expansion has no carry
+        dependence; transposing time into the trailing (lane) dimension
+        first makes each of the C row-gathers a [S, K]-wide vectorized copy
+        at HBM bandwidth instead of a serialized per-element gather (the
+        single largest cost of the in-scan formulation: ~736us/frame at 5k
+        vocabulary, vs ~0.5us/frame amortized here)."""
+        g = self.graph
+        neg = jnp.float32(NEG_INF)
+        st = scores_blk.T                                     # [n_sen, K]
+        base = jnp.where(self._sing_valid[..., None],
+                         st[self._sing_sen], neg)             # [n_sing, S, K]
+        comp = jnp.where(self._comp_valid[..., None],
+                         jnp.max(st[self._comp_mem], axis=2), neg)
+        xsT = jnp.concatenate(
+            [base[: g.n_sing], comp[: g.n_xs - g.n_sing]], axis=0)
+        senT = xsT[self._static_xs]                           # [C, S, K]
+        K = scores_blk.shape[0]
+        return senT.transpose(2, 1, 0).reshape(K, -1)         # [K, S*C]
+
+    def _init_hmmc_static(self):
+        """Initial HMM carry for the static (composite-lc) path: no mpx
+        payload; histories start at (<s>, -1).  STATE-MAJOR [S, C] layout —
+        the channel axis is minor so it owns the TPU's 128-lane dimension
+        (the [C, S] layout wastes 125/128 lanes on every elementwise op in
+        the scan; measured as the dominant batched-decode cost)."""
+        g = self.graph
+        C, S = g.n_chan, g.n_emit_state
+        alpha = jnp.full((S * C,), NEG_INF)
+        hist = jnp.full((S * C,), -1, jnp.int32)
+        hw2 = jnp.full((S * C,), self.start_lmwid, jnp.int32)
+        hw1 = jnp.full((S * C,), -1, jnp.int32)
+        alpha, (hist, hw2, hw1) = hmm_enter_sm(
+            alpha, (hist, hw2, hw1), self._entc0,
+            (jnp.full((C,), -1, jnp.int32),
+             jnp.full((C,), self.start_lmwid, jnp.int32),
+             jnp.full((C,), -1, jnp.int32)))
+        return alpha, hist, hw2, hw1
+
+    def _make_core_static(self):
+        """Per-frame Viterbi core for STATIC-senone graphs (composite left
+        contexts, the large-vocabulary path).  All channel-sized arrays are
+        state-major [S, C] / stacked-small-major [k, C] so the big axis is
+        minor (TPU lanes); consumes pre-expanded [S, C] senone scores; no
+        mpx payload; within-word propagation is a pure shift (channels are
+        word-major position-minor, so every chain channel's predecessor is
+        channel c-1); entry routing is one [4, C] gather along the minor
+        axis."""
+        g, v = self.graph, self.vocab
+        E, W, C = self.E, v.n_word, g.n_chan
+        S, Vr = g.n_emit_state, g.n_rcvar
+        neg = jnp.float32(NEG_INF)
+        lw = jnp.float32(self.lw)
+        log_wip = jnp.float32(self.log_wip)
+        log_pip = jnp.float32(self.log_pip)
+        use_rows = self.dlm.tg_dense is None
+
+        def core(hmmc, inputs):
+            alpha0, hist0, hw20, hw10 = hmmc                 # [S*C] flat
+            sen_t, la_t, t, valid = inputs                   # sen_t [S*C]
+            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_sm(
+                alpha0, (hist0, hw20, hw10), sen_t, self._tp_bands)
+
+            if self.prune:
+                bestscr = jnp.max(alpha)
+                amax = jnp.max(alpha.reshape(S, C), axis=0)  # [C]
+                if self.pl_window:
+                    amax = amax + la_t[self._ci_of]
+                keep = amax > bestscr + jnp.float32(self.log_beam)
+                alpha = jnp.where(jnp.tile(keep, S), alpha, neg)
+                ex = jnp.where(ex > bestscr + jnp.float32(self.log_wbeam),
+                               ex, neg)
+
+            # ---- word exits ----
+            exh3 = jnp.stack([exh, exh2, exh1], 0)           # [3, C]
+            if Vr == 1:
+                wex = ex[self._exit_col]                     # [W]
+                wexh3 = exh3[:, self._exit_col]              # [3, W]
+            else:
+                exv = jnp.where(self._exit_tab >= 0,
+                                ex[self._exit_tab_c], neg)
+                wex = jnp.max(exv, axis=1)
+                vwin = jnp.argmax(exv, axis=1)
+                sel = jnp.take_along_axis(
+                    self._exit_tab_c, vwin[:, None], axis=1)[:, 0]
+                wexh3 = exh3[:, sel]
+            vals, wsel = jax.lax.top_k(wex, E)
+            slot_rc = (vals[:, None] if Vr == 1
+                       else jnp.where(self._exit_tab >= 0,
+                                      ex[self._exit_tab_c], neg)[wsel])
+            ok = (vals > neg * 0.5) & valid
+            peh = wexh3[:, wsel]                             # [3, E]
+            pe, prev_h2, prev_h1 = peh[0], peh[1], peh[2]
+            wl = self._lmwid[wsel]
+            fil = self._is_filler[wsel]
+            h2 = jnp.where(fil, prev_h2, wl)
+            h1 = jnp.where(fil, prev_h1, prev_h2)
+            yrow = (jnp.where(ok, wsel, -1), jnp.where(ok, vals, neg),
+                    pe, h2, h1, jnp.where(ok[:, None], slot_rc, neg))
+
+            # ---- word entries ----
+            if use_rows:
+                rows = self.dlm.score_rows(h1, h2)           # [E, Vlm]
+                lmw = jnp.take(rows, self._lmwid_c, axis=1)  # [E, W]
+            else:
+                lmw = self.dlm.score_tg(
+                    h1[:, None], h2[:, None],
+                    jnp.broadcast_to(self._lmwid_c[None, :], (E, W)))
+            bonus = jnp.where(self._is_filler[None, :],
+                              self._fil_pen[None, :],
+                              lw * lmw + log_wip)            # [E, W]
+            if Vr == 1:
+                ac = slot_rc
+            else:
+                rcv = self._rssid[wsel][:, self._firstci]
+                ac = jnp.take_along_axis(slot_rc, rcv, axis=1)
+            cand = jnp.where(ok[:, None], ac + bonus, neg)
+            ent_w = jnp.max(cand, axis=0)                    # [W]
+            estar = jnp.argmax(cand, axis=0)
+            has_ent = ent_w > neg * 0.5
+            ebp_w = jnp.where(has_ent, t * E + estar, -1)
+            ehh = jnp.stack([h2, h1], 0)[:, estar]           # [2, W]
+
+            # Entry routing: one [4, C] gather along the minor axis.
+            entw4 = jnp.stack(
+                [ent_w, ebp_w.astype(jnp.float32),
+                 ehh[0].astype(jnp.float32),
+                 ehh[1].astype(jnp.float32)], 0)             # [4, W]
+            entc4 = entw4[:, self._word_of]                  # [4, C]
+
+            # ---- within-word propagation: pure shift ----
+            if self._chain_shift:
+                prop = jnp.concatenate(
+                    [jnp.full((1,), neg), ex[:-1] + log_pip])
+                bsh = jnp.concatenate(
+                    [jnp.full((3, 1), -1, exh3.dtype), exh3[:, :-1]],
+                    axis=1)
+            else:
+                has_prev = self._prev_chan >= 0
+                prop = jnp.where(has_prev,
+                                 ex[self._prev_chan_c] + log_pip, neg)
+                bsh = jnp.where(has_prev[None, :],
+                                exh3[:, self._prev_chan_c], -1)
+
+            entry_c = jnp.where(self._is_entry, entc4[0], prop)
+            entry_b = jnp.where(self._is_entry,
+                                entc4[1].astype(jnp.int32), bsh[0])
+            entry_h2 = jnp.where(self._is_entry,
+                                 entc4[2].astype(jnp.int32), bsh[1])
+            entry_h1 = jnp.where(self._is_entry,
+                                 entc4[3].astype(jnp.int32), bsh[2])
+            alpha, (hist, hw2, hw1) = hmm_enter_sm(
+                alpha, (hist, hw2, hw1), entry_c,
+                (entry_b, entry_h2, entry_h1))
+
+            alpha = jnp.where(valid, alpha, alpha0)
+            hist = jnp.where(valid, hist, hist0)
+            hw2 = jnp.where(valid, hw2, hw20)
+            hw1 = jnp.where(valid, hw1, hw10)
+            return (alpha, hist, hw2, hw1), yrow
+
+        return core
+
+    # ------------------------------------------------------------------
+    # Explicit-batch static path.  jax.vmap over the two-level scan makes
+    # XLA's layout assignment insert physical transposes of every carry
+    # array INSIDE the frame loop (profiled at ~20x the single-utterance
+    # per-frame cost).  Instead the batch is packed into the MINOR axis of
+    # flat 1-D arrays — element (s, c, b) lives at (s*C + c)*B + b — so
+    # elementwise ops have no layout freedom, channel gathers fetch
+    # B-wide rows, and reductions reshape (free bitcasts) to [.., B].
+
+    def _expand_block_batched(self, scores_blk):
+        """[B, K, n_sen] -> [K, B, S, C] batch-major static expansion."""
+        g = self.graph
+        neg = jnp.float32(NEG_INF)
+        B, K = scores_blk.shape[0], scores_blk.shape[1]
+        C, S = g.n_chan, g.n_emit_state
+        st = scores_blk.transpose(2, 1, 0).reshape(-1, K * B)  # [n_sen, K*B]
+        base = jnp.where(self._sing_valid[..., None],
+                         st[self._sing_sen], neg)          # [n_sing, S, K*B]
+        comp = jnp.where(self._comp_valid[..., None],
+                         jnp.max(st[self._comp_mem], axis=2), neg)
+        xsT = jnp.concatenate(
+            [base[: g.n_sing], comp[: g.n_xs - g.n_sing]], axis=0)
+        senT = xsT[self._static_xs]                        # [C, S, K*B]
+        return senT.reshape(C, S, K, B).transpose(2, 3, 1, 0)
+
+    def _get_core_static_batched(self, B: int):
+        cache = getattr(self, "_core_b_cache", None)
+        if cache is None:
+            cache = self._core_b_cache = {}
+        if B not in cache:
+            cache[B] = self._make_core_static_batched(B)
+        return cache[B]
+
+    def _make_core_static_batched(self, B: int):
+        """Batched static core: arrays batch-major [B, S, C] / [B, C] —
+        batch in sublanes, channels in lanes (full VPU width at any B;
+        both vmap and batch-minor packing were measured ~20x slower from
+        layout-assignment transposes / 7-lane tiles)."""
+        g, v = self.graph, self.vocab
+        E, W, C = self.E, v.n_word, g.n_chan
+        S, Vr = g.n_emit_state, g.n_rcvar
+        if Vr != 1:
+            raise NotImplementedError(
+                "batched static core requires composite rc (Vr == 1)")
+        neg = jnp.float32(NEG_INF)
+        lw = jnp.float32(self.lw)
+        log_wip = jnp.float32(self.log_wip)
+        log_pip = jnp.float32(self.log_pip)
+        use_rows = self.dlm.tg_dense is None
+        hp = jax.lax.Precision.HIGHEST
+
+        def core(hmmc, inputs):
+            alpha0, hist0, hw20, hw10 = hmmc               # [B, S, C]
+            sen_t, t, validb = inputs                      # [B,S,C], [], [B]
+            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_bm(
+                alpha0, (hist0, hw20, hw10), sen_t, self._tp_bands)
+
+            if self.prune:
+                bestscr = jnp.max(alpha, axis=(1, 2))             # [B]
+                amax = jnp.max(alpha, axis=1)                     # [B, C]
+                keep = amax > bestscr[:, None] + jnp.float32(self.log_beam)
+                alpha = jnp.where(keep[:, None, :], alpha, neg)
+                ex = jnp.where(
+                    ex > bestscr[:, None] + jnp.float32(self.log_wbeam),
+                    ex, neg)
+
+            # ---- word exits (composite rc: one exit channel per word).
+            # Readout via transpose + ROW gather: all four per-channel
+            # arrays pack into [C, 4B] so each gathered row is 4B wide.
+            ex4 = jnp.stack([ex, exh.astype(jnp.float32),
+                             exh2.astype(jnp.float32),
+                             exh1.astype(jnp.float32)], 1)        # [B, 4, C]
+            ex4T = ex4.transpose(2, 1, 0).reshape(C, 4 * B)
+            wx4 = ex4T[self._exit_col].reshape(W, 4, B)           # [W, 4, B]
+            wex = wx4[:, 0].T                                     # [B, W]
+            vals, wsel = jax.lax.top_k(wex, E)                    # [B, E]
+            ok = (vals > neg * 0.5) & validb[:, None]
+            peh = jnp.take_along_axis(
+                wx4[:, 1:].transpose(2, 1, 0), wsel[:, None, :],
+                axis=2).astype(jnp.int32)                         # [B, 3, E]
+            pe, prev_h2, prev_h1 = peh[:, 0], peh[:, 1], peh[:, 2]
+            wl = self._lmwid[wsel]
+            fil = self._is_filler[wsel]
+            h2 = jnp.where(fil, prev_h2, wl)
+            h1 = jnp.where(fil, prev_h1, prev_h2)
+            yrow = (jnp.where(ok, wsel, -1), jnp.where(ok, vals, neg),
+                    pe, h2, h1,
+                    jnp.where(ok[..., None], vals[..., None], neg))
+
+            # ---- word entries ----
+            if use_rows:
+                rows = self.dlm.score_rows(h1.reshape(-1), h2.reshape(-1))
+                lmw = jnp.take(rows, self._lmwid_c, axis=1)   # [B*E, W]
+            else:
+                lmw = self.dlm.score_tg(
+                    h1.reshape(-1)[:, None], h2.reshape(-1)[:, None],
+                    jnp.broadcast_to(self._lmwid_c[None, :], (B * E, W)))
+            bonus = jnp.where(self._is_filler[None, :],
+                              self._fil_pen[None, :],
+                              lw * lmw + log_wip)             # [B*E, W]
+            cand = jnp.where(ok.reshape(-1)[:, None],
+                             vals.reshape(-1)[:, None] + bonus, neg)
+            cand = cand.reshape(B, E, W)
+            ent_w = jnp.max(cand, axis=1)                     # [B, W]
+            estar = jnp.argmax(cand, axis=1)                  # [B, W]
+            has_ent = ent_w > neg * 0.5
+            ebp_w = jnp.where(has_ent, t * E + estar, -1)
+            # h2/h1 of the winning exit slot, via a one-hot over E (exact;
+            # a [B, W]-element gather would serialize).
+            ohE = (estar[..., None] ==
+                   jnp.arange(E, dtype=jnp.int32)).astype(jnp.float32)
+            ehh = jnp.einsum('bwe,bek->bwk', ohE,
+                             jnp.stack([h2, h1], -1).astype(jnp.float32),
+                             precision=hp).astype(jnp.int32)  # [B, W, 2]
+
+            # Entry routing: pack [W, 4*B], gather 4B-wide rows, return to
+            # batch-major [B, 4, C].
+            ent4 = jnp.stack(
+                [ent_w, ebp_w.astype(jnp.float32),
+                 ehh[..., 0].astype(jnp.float32),
+                 ehh[..., 1].astype(jnp.float32)], 1)         # [B, 4, W]
+            ent4T = ent4.transpose(2, 1, 0).reshape(W, 4 * B)
+            entc = (ent4T[self._word_of].reshape(C, 4, B)
+                    .transpose(2, 1, 0))                      # [B, 4, C]
+
+            # ---- within-word propagation: pure shift along C ----
+            exh3 = jnp.stack([exh, exh2, exh1], 1)            # [B, 3, C]
+            if self._chain_shift:
+                prop = jnp.concatenate(
+                    [jnp.full((B, 1), neg), ex[:, :-1] + log_pip], axis=1)
+                bsh = jnp.concatenate(
+                    [jnp.full((B, 3, 1), -1, exh3.dtype), exh3[..., :-1]],
+                    axis=2)
+            else:
+                has_prev = self._prev_chan >= 0
+                prop = jnp.where(has_prev[None, :],
+                                 ex[:, self._prev_chan_c] + log_pip, neg)
+                bsh = jnp.where(has_prev[None, None, :],
+                                exh3[:, :, self._prev_chan_c], -1)
+
+            ie = self._is_entry[None, :]
+            entry_c = jnp.where(ie, entc[:, 0], prop)
+            entry_b = jnp.where(ie, entc[:, 1].astype(jnp.int32),
+                                bsh[:, 0])
+            entry_h2 = jnp.where(ie, entc[:, 2].astype(jnp.int32),
+                                 bsh[:, 1])
+            entry_h1 = jnp.where(ie, entc[:, 3].astype(jnp.int32),
+                                 bsh[:, 2])
+            alpha, (hist, hw2, hw1) = hmm_enter_bm(
+                alpha, (hist, hw2, hw1), entry_c,
+                (entry_b, entry_h2, entry_h1))
+
+            vm = validb[:, None, None]
+            alpha = jnp.where(vm, alpha, alpha0)
+            hist = jnp.where(vm, hist, hist0)
+            hw2 = jnp.where(vm, hw2, hw20)
+            hw1 = jnp.where(vm, hw1, hw10)
+            return (alpha, hist, hw2, hw1), yrow
+
+        return core
+
+    def device_decode_batched(self, feats, valid):
+        """Explicit-batch static decode: [B, Tp, D] + [B, Tp] -> tape
+        arrays, each [B, ...] (same per-utterance layout the results layer
+        indexes).  No vmap in the frame loop — see the packing note
+        above."""
+        g, E = self.graph, self.E
+        B, Tp = feats.shape[0], feats.shape[1]
+        C, S = g.n_chan, g.n_emit_state
+        scores = jax.vmap(self.scorer.score)(feats)        # [B, Tp, n_sen]
+        per_frame = (g.n_chan * S + g.comp_mem.size) * 4 * B
+        KB = next(k for k in (100, 50, 25, 20, 10, 5, 4, 2, 1)
+                  if self.FRAME_BUCKET % k == 0
+                  and k * per_frame <= (192 << 20))
+        NB = Tp // KB
+        core = self._get_core_static_batched(B)
+        rep = lambda a: jnp.broadcast_to(                  # noqa: E731
+            a.reshape(S, C)[None], (B, S, C))
+        hmmc = tuple(rep(a) for a in self._init_hmmc_static())
+        sc_r = scores.reshape(B, NB, KB, -1).transpose(1, 0, 2, 3)
+        val_r = valid.reshape(B, NB, KB).transpose(1, 2, 0)  # [NB, KB, B]
+        t0s = jnp.arange(NB, dtype=jnp.int32) * KB
+
+        def outer(carry, blk):
+            sc_b, v_b, t0 = blk
+            sen_b = self._expand_block_batched(sc_b)       # [KB, S*C*B]
+            ts = t0 + jnp.arange(KB, dtype=jnp.int32)
+            carry, ys = jax.lax.scan(core, carry, (sen_b, ts, v_b))
+            return carry, ys
+
+        _, ys = jax.lax.scan(outer, hmmc, (sc_r, val_r, t0s))
+        # ys arrays [NB, KB, B, E] (trc [..., 1]) -> per-utterance [B, T*E].
+        def fold(a):
+            extra = a.shape[4:]
+            return (a.transpose(2, 0, 1, 3, *range(4, a.ndim))
+                    .reshape((B, Tp * E) + extra))
+        tw, tsc, tprev, th2, th1, trc = (fold(a) for a in ys)
+        return tw, tsc, tprev, th2, th1, trc
+
+    def _make_core(self, hoisted: bool = True):
         """The per-frame Viterbi core.  Takes the HMM carry (alpha + payload
         planes: backpointer slot, mpx xs row, and the two LM history words
         hw2/hw1 riding WITH the tokens — so the step never reads the tape)
@@ -294,6 +686,11 @@ class NgramSearch:
         def core(hmmc, inputs):
             alpha0, hist0, xsr0, hw20, hw10 = hmmc
             xs_t, la_t, t, valid = inputs
+            if not hoisted:
+                # xs_t is the raw [n_sen] senone row; expand to xscores
+                # in-loop (big graphs, where the [T, n_xs, S] hoisted
+                # tensor would not fit HBM).
+                xs_t = self._xscores_all(xs_t[None])[0]
             if small:
                 # sen_c[c,s] = xs_t[xsr0[c,s], s] as a batched one-hot dot.
                 sen_c = jnp.einsum('csx,xs->cs', oh(xsr0, g.n_xs), xs_t,
@@ -483,12 +880,50 @@ class NgramSearch:
             la = jnp.float32(self.pl_weight) * jnp.stack(shifts).max(0)
         else:
             la = jnp.zeros((Tpad, 1), jnp.float32)
-        xs = self._xscores_all(scores)                           # [T, n_xs, S]
+        S = g.n_emit_state
+        if self._fast:
+            # Static-senone path: two-level scan.  The outer level expands
+            # a block of KB frames' senone scores frame-parallel (the
+            # expansion has no carry dependence); the inner scan runs the
+            # Viterbi core over the pre-expanded block.  KB is the largest
+            # divisor of FRAME_BUCKET whose [KB, C, S] block stays under
+            # ~96 MB of HBM.
+            per_frame = (g.n_chan * S + g.comp_mem.size) * 4
+            KB = next(k for k in (100, 50, 25, 20, 10, 5, 4, 2, 1)
+                      if self.FRAME_BUCKET % k == 0
+                      and k * per_frame <= (96 << 20))
+            NB = Tpad // KB
+            hmmc = self._init_hmmc_static()
+            la_r = la.reshape(NB, KB, -1)
+            sc_r = scores.reshape(NB, KB, -1)
+            val_r = valid.reshape(NB, KB)
+            t0s = jnp.arange(NB, dtype=jnp.int32) * KB
+
+            def outer(carry, blk):
+                sc_b, la_b, v_b, t0 = blk
+                sen_b = self._expand_block(sc_b)
+                ts = t0 + jnp.arange(KB, dtype=jnp.int32)
+                carry, ys = jax.lax.scan(self._core_static, carry,
+                                         (sen_b, la_b, ts, v_b))
+                return carry, ys
+
+            _, ys = jax.lax.scan(outer, hmmc, (sc_r, la_r, val_r, t0s))
+            tw, tsc, tprev, th2, th1, trc = ys
+            B = Tpad * E
+            return (tw.reshape(B), tsc.reshape(B), tprev.reshape(B),
+                    th2.reshape(B), th1.reshape(B),
+                    trc.reshape(B, g.n_rcvar))
+        hoist = Tpad * g.n_xs * S * 4 <= (128 << 20)
+        if hoist:
+            xs_in, core = self._xscores_all(scores), self._core
+        else:
+            xs_in, core = scores, self._core_inline
+        unroll = self.SCAN_UNROLL if g.n_chan * S <= (16 << 10) else 1
         hmmc = self._init_hmmc()
         _, ys = jax.lax.scan(
-            self._core, hmmc,
-            (xs, la, jnp.arange(Tpad, dtype=jnp.int32), valid),
-            unroll=self.SCAN_UNROLL)
+            core, hmmc,
+            (xs_in, la, jnp.arange(Tpad, dtype=jnp.int32), valid),
+            unroll=unroll)
         # ys: ([T, E] x5, [T, E, Vr]) -> flat [T*E] tape arrays (same layout
         # the host results layer indexes by slot = t*E + e).
         tw, tsc, tprev, th2, th1, trc = ys
@@ -599,7 +1034,7 @@ class NgramSearch:
         an occasional reallocation+recompile instead of an error
         (acmod_set_grow semantics, pocketsphinx acmod.c)."""
         g, E = self.graph, self.E
-        hmmc = self._init_hmmc()
+        hmmc = self._init_hmmc_static() if self._fast else self._init_hmmc()
         B = max_frames * E
         tape = (jnp.full((B,), -1, jnp.int32), jnp.full((B,), NEG_INF),
                 jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
@@ -608,8 +1043,9 @@ class NgramSearch:
         W = self.pl_window
         if not hasattr(self, "_chunk_fn"):
             def sstep(carry, inputs):
-                hmmc0, tape0 = carry[:5], carry[5]
-                hmmc1, y = self._core(hmmc0, inputs)
+                hmmc0, tape0 = carry[:-1], carry[-1]
+                core = self._core_static if self._fast else self._core
+                hmmc1, y = core(hmmc0, inputs)
                 t = inputs[2]
                 tw, tsc, pe, h2, h1, rc = y
                 tw0, tsc0, tprev0, th20, th10, trc0 = tape0
@@ -634,7 +1070,10 @@ class NgramSearch:
                     la = jnp.float32(self.pl_weight) * jnp.stack(shifts).max(0)
                 else:
                     la = jnp.zeros((self.CHUNK, 1), jnp.float32)
-                xs = self._xscores_all(scores_ext[: self.CHUNK])
+                if self._fast:
+                    xs = self._expand_block(scores_ext[: self.CHUNK])
+                else:
+                    xs = self._xscores_all(scores_ext[: self.CHUNK])
                 carry, _ = jax.lax.scan(sstep, carry, (xs, la, ts, valid))
                 return carry
             self._chunk_fn = jax.jit(chunk)
@@ -647,7 +1086,7 @@ class NgramSearch:
         while state["t"] + need_frames > state["max_frames"]:
             E, g = self.E, self.graph
             grow = state["max_frames"] * E  # double
-            hmmc, tape = state["carry"][:5], state["carry"][5]
+            hmmc, tape = state["carry"][:-1], state["carry"][-1]
             tw, tsc, tprev, th2, th1, trc = tape
             tape = (
                 jnp.concatenate([tw, jnp.full((grow,), -1, jnp.int32)]),
@@ -716,14 +1155,14 @@ class NgramSearch:
         stream; the buffered remainder is not included."""
         if state["t"] == 0:
             return Hypothesis([], float("-inf"), [])
-        tape = tuple(np.asarray(a) for a in state["carry"][5])
+        tape = tuple(np.asarray(a) for a in state["carry"][-1])
         return self._backtrace(*tape, state["t"])
 
     def stream_end(self, state: dict) -> Hypothesis:
         """Finish the stream: flush the remainder and return the final
         hypothesis; the lattice is available via get_lattice()."""
         T = self._stream_flush(state)
-        tape = tuple(np.asarray(a) for a in state["carry"][5])
+        tape = tuple(np.asarray(a) for a in state["carry"][-1])
         self._last = tape + (T,)
         return self._backtrace(*tape, T)
 
@@ -769,10 +1208,21 @@ class NgramSearch:
         D = int(feats_list[0].shape[1])
         Ts = [int(f.shape[0]) for f in feats_list]
         if not hasattr(self, "_batch_fn"):
-            def _full(f, v, T):
-                tape = self.device_decode(f, v)
-                return tape, self.device_backtrace(tape, T)
-            self._batch_fn = jax.jit(jax.vmap(_full))
+            if self._fast and not self.pl_window:
+                # Explicit-batch path: vmap over the frame loop makes XLA
+                # insert per-frame layout transposes (see the packing note
+                # at device_decode_batched); only the cheap backtrace is
+                # vmapped.
+                def _full_b(f, v, T):
+                    tapes = self.device_decode_batched(f, v)
+                    chase = jax.vmap(self.device_backtrace)(tapes, T)
+                    return tapes, chase
+                self._batch_fn = jax.jit(_full_b)
+            else:
+                def _full(f, v, T):
+                    tape = self.device_decode(f, v)
+                    return tape, self.device_backtrace(tape, T)
+                self._batch_fn = jax.jit(jax.vmap(_full))
         # ONE bucket: the scan is the serial axis, so total device time is
         # driven by the number of scan steps (Tmax — utterances run in
         # parallel in the vmapped batch axis), and per-step cost is
@@ -821,11 +1271,20 @@ class NgramSearch:
         Ts = [int(c.shape[0]) for c in cep_list]
         n = int(cep_list[0].shape[1])
         if not hasattr(self, "_batch_cep_fn"):
-            def _full(c, v, T):
-                f = fp._padded_kernel(c, T, True)
-                tape = self.device_decode(f, v)
-                return tape, self.device_backtrace(tape, T)
-            self._batch_cep_fn = jax.jit(jax.vmap(_full))
+            if self._fast and not self.pl_window:
+                def _full_b(c, v, T):
+                    f = jax.vmap(
+                        lambda ci, Ti: fp._padded_kernel(ci, Ti, True))(c, T)
+                    tapes = self.device_decode_batched(f, v)
+                    chase = jax.vmap(self.device_backtrace)(tapes, T)
+                    return tapes, chase
+                self._batch_cep_fn = jax.jit(_full_b)
+            else:
+                def _full(c, v, T):
+                    f = fp._padded_kernel(c, T, True)
+                    tape = self.device_decode(f, v)
+                    return tape, self.device_backtrace(tape, T)
+                self._batch_cep_fn = jax.jit(jax.vmap(_full))
         Tpad = -(-max(max(Ts), 1) // self.FRAME_BUCKET) * self.FRAME_BUCKET
         B = len(Ts)
         cpad = np.zeros((B, Tpad, n), np.float32)

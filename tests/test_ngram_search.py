@@ -195,3 +195,32 @@ def test_composite_rc_mode_decodes_tidigits(reference_root):
         feats = np.asarray(fp.compute(cep))
         hyp = search.decode(feats)
         assert hyp.text == ref, f"{utt}: {hyp.text!r} != {ref!r}"
+
+
+def test_composite_batched_decode_matches_single(reference_root):
+    """The explicit-batch static decode path (batch packed into the minor
+    axis, no vmap in the frame loop) must produce the same hypotheses and
+    scores as per-utterance decode."""
+    R = reference_root / "pocketsphinx"
+    H = R / "model/hmm/en/tidigits"
+    mdef = Mdef.read(str(H / "mdef"))
+    g = read_gauden(str(H / "means"), str(H / "variances"))
+    w, meta = read_sendump(str(H / "sendump"), return_raw=True)
+    tmat = TransitionMatrices.read(str(H / "transition_matrices"))
+    d = Dictionary.read(str(R / "model/lm/en/tidigits.dic"), mdef)
+    lm = NgramModel.read(str(R / "model/lm/en/tidigits.DMP"))
+    cfg = Config(FE_ARGS, FEAT_ARGS)
+    cfg.update_from_file(str(H / "feat.params"))
+    fp = FeatPipeline(cfg)
+    scorer = PsParityScorer(g, w, fp.stream_slices(),
+                            wrap_uint8=meta["n_bits"] == 4)
+    search = NgramSearch(lm, d, mdef, tmat, scorer, rcmode="composite")
+    assert search._fast and search._chain_shift
+    utts = list(TIDIGITS_REFS.items())[:4]
+    feats = [np.asarray(fp.compute(read_mfc(
+        str(R / f"test/data/tidigits/{u}.mfc")))) for u, _ in utts]
+    singles = [search.decode(f) for f in feats]
+    batched = search.decode_batch(feats)
+    for (u, ref), s, b in zip(utts, singles, batched):
+        assert b.text == s.text == ref, (u, b.text, s.text, ref)
+        assert abs(b.score - s.score) < 1e-3
