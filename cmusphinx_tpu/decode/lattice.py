@@ -56,6 +56,14 @@ class LatNode:
     preds: List[int] = field(default_factory=list)
     succs: List[int] = field(default_factory=list)
 
+    @property
+    def base(self) -> str:
+        """Base word string (alternate-pronunciation suffix stripped) —
+        hypothesis text uses base forms like the reference's
+        dict_basestr (dict.c)."""
+        w = self.word
+        return w[: w.rindex("(")] if w.endswith(")") and "(" in w else w
+
 
 class Lattice:
     """Word lattice over decoder tape slots."""
@@ -181,7 +189,7 @@ class Lattice:
                 ids, score = r
                 segs = [Segment(self.nodes[i].word, self.nodes[i].sf,
                                 self.nodes[i].ef, 0.0) for i in ids]
-                words = [self.nodes[i].word for i in ids
+                words = [self.nodes[i].base for i in ids
                          if not self.nodes[i].is_filler]
                 return Hypothesis(words, float(score), segs)
         # state: (node_id, h1, h2) -> (score, prev_state)
@@ -236,7 +244,7 @@ class Lattice:
             segs.append(Segment(n.word, n.sf, n.ef, best[key][0]))
             key = best[key][1]
         segs.reverse()
-        words = [s.word for s in segs
+        words = [self.nodes[self._node_by_seg(s)].base for s in segs
                  if not self.nodes[self._node_by_seg(s)].is_filler]
         return Hypothesis(words, float(bests), segs)
 
@@ -316,7 +324,7 @@ class Lattice:
                 for ids, score in r:
                     segs = [Segment(self.nodes[i].word, self.nodes[i].sf,
                                     self.nodes[i].ef, 0.0) for i in ids]
-                    words = [self.nodes[i].word for i in ids
+                    words = [self.nodes[i].base for i in ids
                              if not self.nodes[i].is_filler]
                     text = " ".join(words)
                     if text in seen:
@@ -382,7 +390,7 @@ class Lattice:
                 for seg in segs:
                     nn = self.nodes[self._node_by_seg(seg)]
                     if not nn.is_filler:
-                        words.append(seg.word)
+                        words.append(nn.base)
                 text = " ".join(words)
                 if text not in seen_texts:
                     seen_texts.add(text)

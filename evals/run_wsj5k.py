@@ -109,6 +109,13 @@ def main():
     ap.add_argument("--maxwpf", type=int, default=32)
     ap.add_argument("--repeat", type=int, default=3,
                     help="timed steady-state decode repetitions")
+    ap.add_argument("--bestpath", action="store_true",
+                    help="rescore over the word lattice (ps -bestpath)")
+    ap.add_argument("--lw", type=float, default=7.5)
+    ap.add_argument("--bestpathlw", type=float, default=11.5,
+                    help="lattice rescoring language weight "
+                         "(pocketsphinx/regression/wsj1_test5k.sh)")
+    ap.add_argument("--wbeam", type=float, default=1e-40)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -144,8 +151,8 @@ def main():
                             wrap_uint8=meta["n_bits"] == 4)
     t0 = time.time()
     search = NgramSearch(lm, d, mdef, tmat, scorer, rcmode=args.rcmode,
-                         lw=7.5, wip=0.5, beam=1e-60, wbeam=1e-40,
-                         maxwpf=args.maxwpf)
+                         lw=args.lw, wip=0.5, beam=1e-60, wbeam=args.wbeam,
+                         maxwpf=args.maxwpf, bestpathlw=args.bestpathlw)
     gr = search.graph
     print(f"graph[{gr.rc_mode}]: {gr.n_chan} channels, {gr.n_xs} xs rows "
           f"({gr.n_sing} singleton + {gr.n_xs - gr.n_sing} composite, "
@@ -173,6 +180,11 @@ def main():
     for _ in range(args.repeat):
         hyps = search.decode_batch(feats)
     steady = (time.time() - t0) / args.repeat
+    if args.bestpath:
+        t0 = time.time()
+        hyps = search.decode_batch(feats, bestpath=True)
+        bp_s = time.time() - t0
+        print(f"bestpath pass: {bp_s:.1f}s wall (Viterbi+lattice+rescore)")
 
     errs = tot = 0
     for u, hyp in zip(utts, hyps):
