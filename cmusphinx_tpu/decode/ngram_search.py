@@ -666,8 +666,15 @@ class NgramSearch:
         Vlm = self.dlm.V
         hp = jax.lax.Precision.HIGHEST
         # One-hot dots beat gathers only while the expanded matrices stay
-        # VMEM-friendly; large graphs keep the gather formulation.
-        small = max(C * C, C * W, C * S * g.n_xs, Vlm * W) <= (8 << 20)
+        # VMEM-friendly; large graphs keep the gather formulation.  The
+        # estimate covers EVERY one-hot this core can build: the [W, Vr, C]
+        # exit-variant select and the (Vlm+1)^2-wide history-plane one-hot
+        # of the dense-trigram branch included (fanout graphs with many rc
+        # variants / dense LMs otherwise blow past the cap).
+        sizes = [C * C, C * W, C * S * g.n_xs, Vlm * W, W * Vr * C]
+        if self.dlm.tg_dense is not None:
+            sizes.append((Vlm + 1) * (Vlm + 1) * E)
+        small = max(sizes) <= (8 << 20)
         self._oh_gathers = small
 
         def oh(idx, n):
@@ -962,15 +969,17 @@ class NgramSearch:
         score = scand[slot0]
         slot0 = jnp.where(fbest >= 0, slot0, -1)
 
-        # Pointer chase as a while_loop: the chain length is the number of
-        # words (<= T/3 since every word occupies >= 3 frames: 3-state
-        # Bakis, no skip past the last state), and under vmap the loop runs
-        # only until the LONGEST lane finishes (~tens of iterations)
-        # instead of a fixed Tpad-length scan.  Outputs are packed into ONE
+        # Pointer chase as a while_loop: the chain length is bounded by the
+        # number of words.  The topology's true minimum word duration is 2
+        # frames (a single-phone word can enter on the 0->2 skip transition
+        # and leave from the exit band next frame), so the bound is T/2 —
+        # NOT T/3 — or consecutive single-phone words could silently
+        # truncate the earliest segments.  Under vmap the loop runs only
+        # until the LONGEST lane finishes.  Outputs are packed into ONE
         # f32 array (word/start/end rows are exact integers < 2^24) so the
         # host fetch is a single transfer — each D2H costs a full tunnel
         # round trip.
-        maxseg = n_slots // (3 * E) + 2
+        maxseg = n_slots // (2 * E) + 2
         out0 = jnp.full((4, maxseg + 1), neg)
         out0 = out0.at[:3].set(-1.0)
 
@@ -1208,7 +1217,7 @@ class NgramSearch:
         D = int(feats_list[0].shape[1])
         Ts = [int(f.shape[0]) for f in feats_list]
         if not hasattr(self, "_batch_fn"):
-            if self._fast and not self.pl_window:
+            if self._fast and not self.pl_window and self.graph.n_rcvar == 1:
                 # Explicit-batch path: vmap over the frame loop makes XLA
                 # insert per-frame layout transposes (see the packing note
                 # at device_decode_batched); only the cheap backtrace is
@@ -1270,8 +1279,16 @@ class NgramSearch:
             return []
         Ts = [int(c.shape[0]) for c in cep_list]
         n = int(cep_list[0].shape[1])
+        # The jitted program captures `fp`'s device kernel in its closure —
+        # key the cache on the pipeline identity so a different FeatPipeline
+        # (different feat params / LDA) recompiles instead of silently
+        # reusing stale features.
+        if getattr(self, "_batch_cep_fp", None) is not fp:
+            if hasattr(self, "_batch_cep_fn"):
+                del self._batch_cep_fn
+            self._batch_cep_fp = fp
         if not hasattr(self, "_batch_cep_fn"):
-            if self._fast and not self.pl_window:
+            if self._fast and not self.pl_window and self.graph.n_rcvar == 1:
                 def _full_b(c, v, T):
                     f = jax.vmap(
                         lambda ci, Ti: fp._padded_kernel(ci, Ti, True))(c, T)

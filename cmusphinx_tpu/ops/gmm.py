@@ -312,6 +312,23 @@ class PsParityScorer:
             out = out + (dd < self._tbl_steps[v]).astype(jnp.int32)
         return out
 
+    @staticmethod
+    def _topn_select(d, n):
+        """Top-n values+indices by iterative argmax + single-index mask.
+        Selection-identical to jax.lax.top_k (argmax and top_k both take
+        the lowest index on ties, and masking one index per round keeps
+        duplicate values as separate entries — the reference's insertion
+        sort does too, s2_semi_mgau.c:81-118), but runs as n max/argmax
+        VPU reductions instead of a full [T, K] sort."""
+        iota = jnp.arange(d.shape[1], dtype=jnp.int32)[None, :]
+        vals, idxs = [], []
+        for _ in range(n):
+            am = jnp.argmax(d, axis=1).astype(jnp.int32)
+            vals.append(jnp.max(d, axis=1))
+            idxs.append(am)
+            d = jnp.where(iota == am[:, None], jnp.iinfo(jnp.int32).min, d)
+        return jnp.stack(vals, 1), jnp.stack(idxs, 1)
+
     def _score_impl(self, feats):
         acc = None
         for f in range(self.n_feat):
@@ -321,7 +338,7 @@ class PsParityScorer:
             # overflow lands at INT_MIN on x86; these never reach the top-N).
             d = jnp.clip(d, -2.0e9, 0.0)
             d_int = d.astype(jnp.int32)                       # C trunc-to-zero
-            vals, idx = jax.lax.top_k(d_int, self.topn)       # [T, N]
+            vals, idx = self._topn_select(d_int, self.topn)   # [T, N]
             norm = jnp.right_shift(vals[:, :1], self.shift)
             fsc = -(jnp.right_shift(vals, self.shift) - norm) # [T, N] >= 0
             fsc = jnp.minimum(fsc, self.MAX_NEG_ASCR)
