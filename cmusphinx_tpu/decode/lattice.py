@@ -53,6 +53,11 @@ class LatNode:
     vit_score: float   # Viterbi exit score from pass 1 (best rc)
     rc_score: np.ndarray  # per-right-context exit scores [n_ci]
     entry_score: float    # score at word entry on the pass-1 path
+    # True when the node IS the finish word </s> (whether it entered the
+    # search as an LM word or as a filler): the utterance-final
+    # P(</s> | h) term is skipped for such nodes — the decoder's
+    # _final_slot does the same, so path scores stay comparable.
+    is_finish: bool = False
     preds: List[int] = field(default_factory=list)
     succs: List[int] = field(default_factory=list)
 
@@ -103,35 +108,50 @@ class Lattice:
         # A final node must cover the end of the utterance; mid-utterance
         # dead ends are deleted (ps_lattice.c:196 unreachable deletion) —
         # scores are frame-relative, so partial-coverage paths would
-        # otherwise win.
-        maxef = max((n.ef for n in self.nodes), default=-1)
-        alive = set()
-        by_sf: Dict[int, List[int]] = {}
-        for n in self.nodes:
-            by_sf.setdefault(n.sf, []).append(n.id)
-        # Backward reachability from final-frame nodes (iterative: successors
-        # always start later, so process in decreasing start-frame order).
-        succ_of = {n.id: by_sf.get(n.ef + 1, []) for n in self.nodes}
-        reaches: Dict[int, bool] = {}
-        for n in sorted(self.nodes, key=lambda x: -x.sf):
-            reaches[n.id] = n.ef == maxef or any(
-                reaches.get(j, False) for j in succ_of[n.id])
-        keep = [n for n in self.nodes if reaches[n.id]]
-        remap = {n.id: i for i, n in enumerate(keep)}
+        # otherwise win.  Vectorized: a node reaches the end iff it ends at
+        # maxef or SOME node starting at ef+1 reaches — a per-frame boolean,
+        # computed in one descending frame sweep over numpy buckets (the
+        # per-node Python recursion was a construction wall at 5k vocab).
+        if not self.nodes:
+            self._starts, self._ends = [], []
+            return
+        sf = np.fromiter((n.sf for n in self.nodes), np.int64,
+                         len(self.nodes))
+        ef = np.fromiter((n.ef for n in self.nodes), np.int64,
+                         len(self.nodes))
+        maxef = int(ef.max())
+        order = np.argsort(sf, kind="stable")
+        bounds = np.searchsorted(sf[order], np.arange(maxef + 2))
+        frame_reach = np.zeros(maxef + 3, bool)
+        reach = ef == maxef
+        for f in range(maxef, -1, -1):
+            idx = order[bounds[f] : bounds[f + 1]]
+            if idx.size == 0:
+                continue
+            r = reach[idx] | frame_reach[ef[idx] + 1]
+            reach[idx] = r
+            frame_reach[f] = bool(r.any())
+        keep_idx = np.nonzero(reach)[0]
+        keep = [self.nodes[i] for i in keep_idx]
         for i, n in enumerate(keep):
             n.id = i
         self.nodes = keep
-        by_sf = {}
+        sf, ef = sf[keep_idx], ef[keep_idx]
+        # Successors of n = all nodes starting at n.ef + 1 (shared per-frame
+        # id lists; edges are the word-boundary adjacency).
+        order = np.argsort(sf, kind="stable")
+        bounds = np.searchsorted(sf[order], np.arange(maxef + 3))
+        starts_at = [order[bounds[f] : bounds[f + 1]].tolist()
+                     for f in range(maxef + 2)]
+        ends_order = np.argsort(ef, kind="stable")
+        ebounds = np.searchsorted(ef[ends_order], np.arange(maxef + 2))
+        ends_at = [ends_order[ebounds[f] : ebounds[f + 1]].tolist()
+                   for f in range(maxef + 1)]
         for n in self.nodes:
-            by_sf.setdefault(n.sf, []).append(n.id)
-        for n in self.nodes:
-            n.preds = []
-        for n in self.nodes:
-            n.succs = list(by_sf.get(n.ef + 1, []))
-            for s in n.succs:
-                self.nodes[s].preds.append(n.id)
-        self._starts = [n.id for n in self.nodes if n.sf == 0]
-        self._ends = [n.id for n in self.nodes if n.ef == maxef]
+            n.succs = starts_at[n.ef + 1] if n.ef + 1 <= maxef + 1 else []
+            n.preds = ends_at[n.sf - 1] if n.sf >= 1 else []
+        self._starts = starts_at[0]
+        self._ends = ends_at[maxef]
 
     # ------------------------------------------------------------------
     def link_ascr(self, src: LatNode, dst_firstci: int) -> float:
@@ -161,6 +181,10 @@ class Lattice:
             s = src.vit_score
         return s - src.entry_score
 
+    def _is_finish(self, n: LatNode) -> bool:
+        return n.is_finish or (n.lmwid == self.finish_lmwid
+                               and not n.is_filler)
+
     def _lm_term(self, h1: int, h2: int, node: LatNode, lw: float) -> float:
         if node.is_filler:
             return node.fil_pen
@@ -173,7 +197,8 @@ class Lattice:
 
     # ------------------------------------------------------------------
     def bestpath(self, lw: Optional[float] = None,
-                 start_lmwid: int = -1) -> Hypothesis:
+                 start_lmwid: int = -1,
+                 prune_beam: float = 0.0) -> Hypothesis:
         """Exact trigram Viterbi over the lattice (ps_lattice_bestpath
         capability, without its single-history approximation).
 
@@ -181,10 +206,15 @@ class Lattice:
         node is small because fillers are transparent.  Runs in the native
         C++ runtime (csrc/sphinx_runtime.cc lattice_bestpath) when built;
         this Python implementation is the reference/fallback.
+
+        prune_beam > 0 (natural-log units) gates the exact DP with a
+        bigram-approximate forward/backward link beam in the native path —
+        links off every path within prune_beam of the best are skipped.
         """
         lw = self.lw if lw is None else lw
         if _native is not None and self._explicit is None:
-            r = _native.lattice_bestpath(self, lw, start_lmwid)
+            r = _native.lattice_bestpath(self, lw, start_lmwid,
+                                         prune_beam=prune_beam)
             if r is not None:
                 ids, score = r
                 segs = [Segment(self.nodes[i].word, self.nodes[i].sf,
@@ -230,7 +260,7 @@ class Lattice:
             if n.succs:
                 continue
             s = sc + self.final_ascr(n)
-            if not (n.lmwid == self.finish_lmwid and not n.is_filler):
+            if not self._is_finish(n):
                 s += lw * self.lm.tg_score(key[1], key[2], self.finish_lmwid)
             if s > bests:
                 bestk, bests = key, s
@@ -345,7 +375,8 @@ class Lattice:
         for i in self._ends:
             node = self.nodes[i]
             s = self.final_ascr(node)
-            s += lw * self.lm.bg_score(node.lmwid, self.finish_lmwid)
+            if not self._is_finish(node):
+                s += lw * self.lm.bg_score(node.lmwid, self.finish_lmwid)
             h[i] = s
         for i in reversed(order):
             node = self.nodes[i]
@@ -376,7 +407,7 @@ class Lattice:
             pid = len(paths) - 1
             if not node.succs:
                 s = g + self.final_ascr(node)
-                if not (node.lmwid == self.finish_lmwid and not node.is_filler):
+                if not self._is_finish(node):
                     s += lw * self.lm.tg_score(hist[0], hist[1], self.finish_lmwid)
                 segs = []
                 p = pid
@@ -572,7 +603,8 @@ def read_lattice(path: str, lm, lw: float = 6.5, log_wip: float = -0.43,
                 nodes[nid] = LatNode(
                     id=nid, word=word, kidx=nid, lmwid=lmwid,
                     is_filler=bool(is_fil), fil_pen=fp, sf=sf, ef=lef,
-                    vit_score=0.0, rc_score=np.zeros(1), entry_score=0.0)
+                    vit_score=0.0, rc_score=np.zeros(1), entry_score=0.0,
+                    is_finish=(word == finish_word))
             elif state == "edges":
                 edges[(int(p[0]), int(p[1]))] = float(p[2]) * _m.log(logbase)
     assert all(n is not None for n in nodes), f"missing node ids in {path}"

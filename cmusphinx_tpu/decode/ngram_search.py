@@ -86,6 +86,11 @@ NGRAM_ARGS = [
     Arg("bestpath", bool, False,
         "Run lattice trigram rescoring after Viterbi (ps -bestpath)"),
     Arg("bestpathlw", float, 9.5, "Language weight for bestpath rescoring"),
+    Arg("latbeam", float, 1e-40,
+        "Lattice link beam for bestpath rescoring: links off every path "
+        "within this (linear-probability) width of the bigram-approximate "
+        "best path are skipped by the exact trigram DP.  0 disables "
+        "pruning (fully exact rescoring)"),
     Arg("ascale", float, 20.0, "Inverse acoustic scale for lattice posteriors"),
     Arg("prune", bool, True,
         "Apply beam pruning.  Matches the reference's behavior: the beams act "
@@ -1201,10 +1206,43 @@ class NgramSearch:
         if bestpath and hyp.segments:
             lat = self.get_lattice()
             h2 = lat.bestpath(lw=float(self.config["bestpathlw"]),
-                              start_lmwid=self.start_lmwid)
+                              start_lmwid=self.start_lmwid,
+                              prune_beam=self._latbeam_ln())
             if h2.segments:
                 hyp = h2
         return hyp
+
+    def _latbeam_ln(self) -> float:
+        """latbeam (linear prob) -> natural-log beam width for the native
+        link pruner (0 = exact)."""
+        lb = float(self.config["latbeam"])
+        return -math.log(lb) if lb > 0.0 else 0.0
+
+    def _rescore_batch(self, hyps: List[Hypothesis]) -> List[Hypothesis]:
+        """Bestpath-rescore every utterance of the most recent batch:
+        vectorized lattice construction + the native trigram DP, with
+        utterances rescored in parallel threads (the native call releases
+        the GIL).  Replaces the serial per-utterance host loop that made
+        the bestpath pass cost ~200 s for a 7-utterance WSJ batch."""
+        from concurrent.futures import ThreadPoolExecutor
+        htapes = self._batch_host_tapes()
+        Ts = self._last_batch[1]
+        B = len(Ts)
+        bplw = float(self.config["bestpathlw"])
+        bw = self._latbeam_ln()
+        lats = [self._lattice_from_tape(tuple(a[i] for a in htapes)
+                                        + (Ts[i],))
+                if hyps[i].segments else None for i in range(B)]
+
+        def _one(i):
+            if lats[i] is None:
+                return hyps[i]
+            h2 = lats[i].bestpath(lw=bplw, start_lmwid=self.start_lmwid,
+                                  prune_beam=bw)
+            return h2 if h2.segments else hyps[i]
+
+        with ThreadPoolExecutor(max_workers=min(8, max(B, 1))) as ex:
+            return list(ex.map(_one, range(B)))
 
     def decode_batch(self, feats_list, bestpath: Optional[bool] = None
                      ) -> List[Hypothesis]:
@@ -1254,19 +1292,8 @@ class NgramSearch:
         bp = bool(self.config["bestpath"]) if bestpath is None else bestpath
         self._last = None
         self._last_batch = (tapes, Ts, B - 1)
-        htapes = self._batch_host_tapes() if bp else None
-        out: List[Hypothesis] = []
-        for i in range(B):
-            hyp = self._hyp_from_chase(chase[i])
-            if bp and hyp.segments:
-                self._last = tuple(a[i] for a in htapes) + (Ts[i],)
-                h2 = self.get_lattice().bestpath(
-                    lw=float(self.config["bestpathlw"]),
-                    start_lmwid=self.start_lmwid)
-                if h2.segments:
-                    hyp = h2
-            out.append(hyp)
-        return out
+        out = [self._hyp_from_chase(chase[i]) for i in range(B)]
+        return self._rescore_batch(out) if bp else out
 
     def decode_batch_cep(self, cep_list, fp, bestpath: Optional[bool] = None
                          ) -> List[Hypothesis]:
@@ -1315,19 +1342,8 @@ class NgramSearch:
         bp = bool(self.config["bestpath"]) if bestpath is None else bestpath
         self._last = None
         self._last_batch = (tapes, Ts, B - 1)
-        htapes = self._batch_host_tapes() if bp else None
-        out: List[Hypothesis] = []
-        for i in range(B):
-            hyp = self._hyp_from_chase(chase[i])
-            if bp and hyp.segments:
-                self._last = tuple(a[i] for a in htapes) + (Ts[i],)
-                h2 = self.get_lattice().bestpath(
-                    lw=float(self.config["bestpathlw"]),
-                    start_lmwid=self.start_lmwid)
-                if h2.segments:
-                    hyp = h2
-            out.append(hyp)
-        return out
+        out = [self._hyp_from_chase(chase[i]) for i in range(B)]
+        return self._rescore_batch(out) if bp else out
 
     def _batch_host_tapes(self):
         """Materialize the last batch's tapes on host (cached; one bulk
@@ -1350,50 +1366,78 @@ class NgramSearch:
         """Exit score of word k's rc variant serving CI phone ci."""
         return float(trc_row[int(self.graph.rssid[k, ci])])
 
+    def _tg_batch(self, h1: np.ndarray, h2: np.ndarray,
+                  w: np.ndarray) -> np.ndarray:
+        """Batched trigram scores (native lm3g core when built)."""
+        from ..utils import native
+        if native is not None:
+            la = getattr(self, "_lm_arrays", None)
+            if la is None:
+                la = self._lm_arrays = native.LmArrays(self.lm)
+            out = native.tg_score_batch(la, h1, h2, w)
+            if out is not None:
+                return out.astype(np.float64)
+        return np.asarray([self.lm.tg_score(int(a), int(b), int(c))
+                           for a, b, c in zip(h1, h2, w)], np.float64)
+
+    def _lattice_from_tape(self, last):
+        """Vectorized lattice construction from one utterance's tape arrays
+        (the per-slot Python loop was ~0.5 s/utterance at 5k vocabulary;
+        this is numpy throughout with one batched-LM call)."""
+        from .lattice import LatNode, Lattice
+        tw, tsc, tprev, th2, th1, trc = (np.asarray(a) for a in last[:6])
+        T = last[6]
+        g, v, E = self.graph, self.vocab, self.E
+        n_slots = T * E
+        slots = np.nonzero(tw[:n_slots] >= 0)[0]
+        k = tw[slots].astype(np.int64)
+        t = slots // E
+        prev = tprev[slots]
+        has_prev = prev >= 0
+        pidx = np.maximum(prev, 0)
+        sf = np.where(has_prev, pidx // E + 1, 0)
+        # Entry score = predecessor exit (rc variant serving this word's
+        # first CI phone) + LM/filler term — the score the decoder entered
+        # this instance with (word_transition semantics).
+        pk = tw[pidx].astype(np.int64)
+        rcv = g.rssid[pk, g.firstci[k]].astype(np.int64)
+        base = trc[pidx, rcv]
+        base = np.where(base <= float(NEG_INF) * 0.5, tsc[pidx], base)
+        fil = v.is_filler[k]
+        lmterm = np.where(fil, self._fil_pen_np[k], 0.0).astype(np.float64)
+        nz = has_prev & ~fil
+        if nz.any():
+            lmterm[nz] = (self.lw * self._tg_batch(
+                th1[pidx[nz]], th2[pidx[nz]], v.lmwid[k[nz]])
+                + self.log_wip)
+        entry = np.where(has_prev, base + lmterm, self._ent0[k])
+        # Per-instance rc readout decompressed to per-CI columns.
+        rc_all = np.take_along_axis(
+            trc[slots], g.rssid[k].astype(np.int64), axis=1)
+        vit = tsc[slots]
+        fp = self._fil_pen_np[k]
+        lmw = v.lmwid[k]
+        fin = v.is_finish[k]
+        nodes = [
+            LatNode(id=i, word=v.word_str[ki], kidx=int(ki),
+                    lmwid=int(lw_), is_filler=bool(fi), fil_pen=float(fpi),
+                    sf=int(sfi), ef=int(ti), vit_score=float(vi),
+                    rc_score=rc_all[i], entry_score=float(en),
+                    is_finish=bool(fni))
+            for i, (ki, lw_, fi, fpi, sfi, ti, vi, en, fni) in enumerate(
+                zip(k, lmw, fil, fp, sf, t, vit, entry, fin))
+        ]
+        return Lattice(nodes, g.firstci, g.lastci, self.lm, self.lw,
+                       self.log_wip, self.sil_ci, self.finish_lmwid, T)
+
     def get_lattice(self):
         """Word lattice for the most recent utterance (ps_get_lattice)."""
-        from .lattice import LatNode, Lattice
         if self._last is None:
             if getattr(self, "_last_batch", None) is not None:
                 self.select_utt(self._last_batch[2])
             else:
                 raise RuntimeError("no utterance decoded yet")
-        tw, tsc, tprev, th2, th1, trc = (
-            np.asarray(a) for a in self._last[:6])
-        T = self._last[6]
-        g, v, E = self.graph, self.vocab, self.E
-        nodes = []
-        for slot in range(T * E):
-            k = int(tw[slot])
-            if k < 0:
-                continue
-            t, prev = slot // E, int(tprev[slot])
-            sf = prev // E + 1 if prev >= 0 else 0
-            if prev < 0:
-                entry = float(self._ent0[k])
-            else:
-                pk = int(tw[prev])
-                base = self._slot_rc_score(trc[prev], pk, int(g.firstci[k]))
-                if base <= float(NEG_INF) * 0.5:
-                    base = float(tsc[prev])
-                if v.is_filler[k]:
-                    lmterm = float(self._fil_pen_np[k])
-                else:
-                    lmterm = self.lw * self.lm.tg_score(
-                        int(th1[prev]), int(th2[prev]), int(v.lmwid[k])
-                    ) + self.log_wip
-                entry = base + lmterm
-            # Expand the variant exit vector to a per-CI vector for the
-            # lattice's rc readout (rssid decompression).
-            rc_vec = trc[slot][g.rssid[k].astype(np.int64)]
-            nodes.append(LatNode(
-                id=len(nodes), word=v.word_str[k], kidx=k,
-                lmwid=int(v.lmwid[k]), is_filler=bool(v.is_filler[k]),
-                fil_pen=float(self._fil_pen_np[k]), sf=sf, ef=t,
-                vit_score=float(tsc[slot]), rc_score=rc_vec.copy(),
-                entry_score=entry))
-        return Lattice(nodes, g.firstci, g.lastci, self.lm, self.lw,
-                       self.log_wip, self.sil_ci, self.finish_lmwid, T)
+        return self._lattice_from_tape(self._last)
 
     # ------------------------------------------------------------------
     def _final_slot(self, tw, tsc, th2, th1, trc, T):

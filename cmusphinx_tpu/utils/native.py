@@ -36,7 +36,7 @@ _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
 _LM_ARGS = [_f32p, _f32p, _i64p, _i32p, _f32p, _f32p, _i64p, _i32p, _f32p,
             ct.c_int32, ct.c_int32]
 _LAT_ARGS = [ct.c_int32, ct.c_int32, ct.c_int32,
-             _i32p, _i32p, _i32p, _i32p, _u8p, _f32p,
+             _i32p, _i32p, _i32p, _i32p, _u8p, _u8p, _f32p,
              _f32p, _f32p, _f32p, _i64p, _i32p] + _LM_ARGS
 
 
@@ -69,7 +69,7 @@ def get_lib():
             _i32p, _i32p, _i32p, ct.c_int64, _f32p]
         lib.lattice_bestpath.restype = ct.c_int32
         lib.lattice_bestpath.argtypes = _LAT_ARGS + [
-            ct.c_float, ct.c_float, ct.c_int32, ct.c_int32,
+            ct.c_float, ct.c_float, ct.c_int32, ct.c_int32, ct.c_float,
             _i32p, ct.c_int32, ct.POINTER(ct.c_float)]
         lib.lattice_posterior.restype = None
         lib.lattice_posterior.argtypes = _LAT_ARGS + [
@@ -137,6 +137,10 @@ class LatArrays:
         self.lmwid = c([n.lmwid for n in nodes], np.int32)
         self.firstci = c([lat.firstci[n.kidx] for n in nodes], np.int32)
         self.is_filler = c([n.is_filler for n in nodes], np.uint8)
+        self.is_finish = c([getattr(n, "is_finish", False)
+                            or (n.lmwid == lat.finish_lmwid
+                                and not n.is_filler)
+                            for n in nodes], np.uint8)
         self.fil_pen = c([n.fil_pen for n in nodes], np.float32)
         self.entry = c([n.entry_score for n in nodes], np.float32)
         self.vit = c([n.vit_score for n in nodes], np.float32)
@@ -154,12 +158,15 @@ class LatArrays:
 
     def args(self):
         return (self.N, self.n_ci, self.sil_ci, self.sf, self.ef, self.lmwid,
-                self.firstci, self.is_filler, self.fil_pen, self.entry,
-                self.vit, self.rc, self.succ_ptr, self.succ)
+                self.firstci, self.is_filler, self.is_finish, self.fil_pen,
+                self.entry, self.vit, self.rc, self.succ_ptr, self.succ)
 
 
-def lattice_bestpath(lat, lw: float, start_lmwid: int):
-    """Native exact trigram Viterbi.  Returns (node_ids, score) or None."""
+def lattice_bestpath(lat, lw: float, start_lmwid: int,
+                     prune_beam: float = 0.0):
+    """Native exact trigram Viterbi.  Returns (node_ids, score) or None.
+    prune_beam > 0 gates the exact DP with a bigram-approximate link beam
+    (see csrc/sphinx_runtime.cc)."""
     lib = get_lib()
     if lib is None or not lat.nodes:
         return None
@@ -171,6 +178,7 @@ def lattice_bestpath(lat, lw: float, start_lmwid: int):
         *la.args(), *lma.args(),
         np.float32(lw), np.float32(lat.log_wip),
         np.int32(lat.finish_lmwid), np.int32(start_lmwid),
+        np.float32(prune_beam),
         path, np.int32(cap), ct.byref(score))
     if n < 0:  # buffer too small: retry exact size
         cap = -n
@@ -179,6 +187,7 @@ def lattice_bestpath(lat, lw: float, start_lmwid: int):
             *la.args(), *lma.args(),
             np.float32(lw), np.float32(lat.log_wip),
             np.int32(lat.finish_lmwid), np.int32(start_lmwid),
+            np.float32(prune_beam),
             path, np.int32(cap), ct.byref(score))
     if n <= 0:
         return None

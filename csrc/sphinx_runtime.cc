@@ -75,6 +75,7 @@ struct Lat {
   int32_t N, n_ci, sil_ci;
   const int32_t *sf, *ef, *lmwid, *firstci;
   const uint8_t* is_filler;
+  const uint8_t* is_finish;   // node IS the finish word </s> (filler or not)
   const float *fil_pen, *entry_score, *vit_score;
   const float* rc_score;       // [N, n_ci]
   const int64_t* succ_ptr;     // [N+1]
@@ -147,13 +148,20 @@ void lm3g_tg_score_batch(const float* ug_prob, const float* ug_bo,
 }
 
 // Exact trigram Viterbi bestpath over the lattice.
+// prune_beam > 0 enables a bigram-approximate forward/backward max pass
+// (one state per node, the LM history collapsed to the predecessor word —
+// the same approximation ps_lattice_bestpath's alpha pass makes) whose
+// link scores gate the exact trigram DP: only links on some path within
+// prune_beam (natural-log units) of the global best survive.  The exact
+// pass then runs over the surviving sub-lattice.
 // Outputs: path node ids into out_path (capacity max_path), returns path
 // length (0 = no path); *out_score = total path score.
 int32_t lattice_bestpath(
     // lattice arrays
     int32_t N, int32_t n_ci, int32_t sil_ci,
     const int32_t* sf, const int32_t* ef, const int32_t* lmwid,
-    const int32_t* firstci, const uint8_t* is_filler, const float* fil_pen,
+    const int32_t* firstci, const uint8_t* is_filler,
+    const uint8_t* is_finish, const float* fil_pen,
     const float* entry_score, const float* vit_score, const float* rc_score,
     const int64_t* succ_ptr, const int32_t* succ,
     // lm arrays
@@ -163,20 +171,74 @@ int32_t lattice_bestpath(
     int32_t V, int32_t order,
     // params
     float lw, float log_wip, int32_t finish_lmwid, int32_t start_lmwid,
+    float prune_beam,
     // out
     int32_t* out_path, int32_t max_path, float* out_score) {
-  Lat L{N, n_ci, sil_ci, sf, ef, lmwid, firstci, is_filler, fil_pen,
+  Lat L{N, n_ci, sil_ci, sf, ef, lmwid, firstci, is_filler, is_finish,
+        fil_pen,
         entry_score, vit_score, rc_score, succ_ptr, succ,
         {V, ug_prob, ug_bo, bg_ptr, bg_wid, bg_prob, bg_bo,
          tg_ptr, tg_wid, tg_prob, order},
         lw, log_wip, finish_lmwid, start_lmwid};
+
+  auto order_v = topo_order(L);
+
+  // Optional link pruning: per-node forward/backward best-path scores with
+  // the bigram history approximation; a link survives iff the best path
+  // through it is within prune_beam of the global best.
+  std::vector<uint8_t> keep;
+  if (prune_beam > 0.0f) {
+    std::vector<float> fwd(N, NEG), bwd(N, NEG);
+    for (int32_t i = 0; i < N; ++i)
+      if (sf[i] == 0) fwd[i] = L.lm_term(-1, start_lmwid, i, lw);
+    for (int32_t oi = 0; oi < N; ++oi) {
+      int32_t i = order_v[oi];
+      if (fwd[i] <= NEG / 2) continue;
+      for (int64_t e = succ_ptr[i]; e < succ_ptr[i + 1]; ++e) {
+        int32_t j = succ[e];
+        float c = fwd[i] + L.link_ascr(i, firstci[j]) +
+                  L.lm_term(-1, lmwid[i], j, lw);
+        if (c > fwd[j]) fwd[j] = c;
+      }
+    }
+    float best = -std::numeric_limits<float>::infinity();
+    for (int32_t i = 0; i < N; ++i) {
+      if (succ_ptr[i] != succ_ptr[i + 1]) continue;
+      float fin = L.final_ascr(i);
+      if (!is_finish[i])
+        fin += lw * L.lm.bg_score(lmwid[i], finish_lmwid);
+      bwd[i] = fin;
+      if (fwd[i] > NEG / 2 && fwd[i] + fin > best) best = fwd[i] + fin;
+    }
+    for (int32_t oi = N - 1; oi >= 0; --oi) {
+      int32_t i = order_v[oi];
+      for (int64_t e = succ_ptr[i]; e < succ_ptr[i + 1]; ++e) {
+        int32_t j = succ[e];
+        if (bwd[j] <= NEG / 2) continue;
+        float c = L.link_ascr(i, firstci[j]) + L.lm_term(-1, lmwid[i], j, lw)
+                  + bwd[j];
+        if (c > bwd[i]) bwd[i] = c;
+      }
+    }
+    keep.assign((size_t)succ_ptr[N], 0);
+    float thr = best - prune_beam;
+    for (int32_t i = 0; i < N; ++i) {
+      if (fwd[i] <= NEG / 2) continue;
+      for (int64_t e = succ_ptr[i]; e < succ_ptr[i + 1]; ++e) {
+        int32_t j = succ[e];
+        if (bwd[j] <= NEG / 2) continue;
+        float c = fwd[i] + L.link_ascr(i, firstci[j]) +
+                  L.lm_term(-1, lmwid[i], j, lw) + bwd[j];
+        if (c >= thr) keep[e] = 1;
+      }
+    }
+  }
 
   struct State { float score; int32_t node, h1, h2, prev; };
   std::vector<State> states;
   // Per node: hist -> state index.
   std::vector<std::unordered_map<uint64_t, int32_t>> at(N);
 
-  auto order_v = topo_order(L);
   for (int32_t i = 0; i < N; ++i) {
     if (sf[i] != 0) continue;
     float t = L.lm_term(-1, start_lmwid, i, lw);
@@ -198,9 +260,13 @@ int32_t lattice_bestpath(
     std::vector<int32_t> here;
     here.reserve(at[i].size());
     for (auto& kv : at[i]) here.push_back(kv.second);
+    // Hoist the per-destination acoustic/LM-independent work: link ascr
+    // depends only on (i, firstci[j]) and the trigram row cache keeps the
+    // inner loop light.
     for (int32_t si : here) {
       State s = states[si];
       for (int64_t e = succ_ptr[i]; e < succ_ptr[i + 1]; ++e) {
+        if (!keep.empty() && !keep[e]) continue;
         int32_t j = succ[e];
         float ascr = L.link_ascr(i, firstci[j]);
         float t = L.lm_term(s.h1, s.h2, j, lw);
@@ -226,7 +292,7 @@ int32_t lattice_bestpath(
     for (auto& kv : at[i]) {
       const State& s = states[kv.second];
       float v = s.score + L.final_ascr(i);
-      if (!(lmwid[i] == finish_lmwid && !is_filler[i]))
+      if (!is_finish[i])
         v += lw * L.lm.tg_score(s.h1, s.h2, finish_lmwid);
       if (v > bests) { bests = v; best = kv.second; }
     }
@@ -247,7 +313,8 @@ int32_t lattice_bestpath(
 void lattice_posterior(
     int32_t N, int32_t n_ci, int32_t sil_ci,
     const int32_t* sf, const int32_t* ef, const int32_t* lmwid,
-    const int32_t* firstci, const uint8_t* is_filler, const float* fil_pen,
+    const int32_t* firstci, const uint8_t* is_filler,
+    const uint8_t* is_finish, const float* fil_pen,
     const float* entry_score, const float* vit_score, const float* rc_score,
     const int64_t* succ_ptr, const int32_t* succ,
     const float* ug_prob, const float* ug_bo, const int64_t* bg_ptr,
@@ -256,7 +323,8 @@ void lattice_posterior(
     int32_t V, int32_t order,
     float lw, float log_wip, int32_t finish_lmwid, float ascale,
     double* out_post) {
-  Lat L{N, n_ci, sil_ci, sf, ef, lmwid, firstci, is_filler, fil_pen,
+  Lat L{N, n_ci, sil_ci, sf, ef, lmwid, firstci, is_filler, is_finish,
+        fil_pen,
         entry_score, vit_score, rc_score, succ_ptr, succ,
         {V, ug_prob, ug_bo, bg_ptr, bg_wid, bg_prob, bg_bo,
          tg_ptr, tg_wid, tg_prob, order},
@@ -309,7 +377,8 @@ void lattice_posterior(
 int32_t lattice_nbest(
     int32_t N, int32_t n_ci, int32_t sil_ci,
     const int32_t* sf, const int32_t* ef, const int32_t* lmwid,
-    const int32_t* firstci, const uint8_t* is_filler, const float* fil_pen,
+    const int32_t* firstci, const uint8_t* is_filler,
+    const uint8_t* is_finish, const float* fil_pen,
     const float* entry_score, const float* vit_score, const float* rc_score,
     const int64_t* succ_ptr, const int32_t* succ,
     const float* ug_prob, const float* ug_bo, const int64_t* bg_ptr,
@@ -320,7 +389,8 @@ int32_t lattice_nbest(
     int32_t n_best, int32_t max_pop,
     int32_t* out_nodes, int64_t out_cap, int32_t* out_lens,
     float* out_scores) {
-  Lat L{N, n_ci, sil_ci, sf, ef, lmwid, firstci, is_filler, fil_pen,
+  Lat L{N, n_ci, sil_ci, sf, ef, lmwid, firstci, is_filler, is_finish,
+        fil_pen,
         entry_score, vit_score, rc_score, succ_ptr, succ,
         {V, ug_prob, ug_bo, bg_ptr, bg_wid, bg_prob, bg_bo,
          tg_ptr, tg_wid, tg_prob, order},
@@ -331,7 +401,7 @@ int32_t lattice_nbest(
   for (int32_t i = 0; i < N; ++i) {
     if (succ_ptr[i] != succ_ptr[i + 1]) continue;
     float s = L.final_ascr(i);
-    s += lw * L.lm.bg_score(lmwid[i], finish_lmwid);
+    if (!is_finish[i]) s += lw * L.lm.bg_score(lmwid[i], finish_lmwid);
     h[i] = s;
   }
   for (int32_t oi = N - 1; oi >= 0; --oi) {
@@ -367,7 +437,7 @@ int32_t lattice_nbest(
     int32_t i = p.node;
     if (succ_ptr[i] == succ_ptr[i + 1]) {
       float s = p.g + L.final_ascr(i);
-      if (!(lmwid[i] == finish_lmwid && !is_filler[i]))
+      if (!is_finish[i])
         s += lw * L.lm.tg_score(p.h1, p.h2, finish_lmwid);
       // Emit path (reverse order, then flip).
       std::vector<int32_t> rev;
