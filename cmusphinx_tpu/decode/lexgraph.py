@@ -62,6 +62,7 @@ class WordGraph:
     n_emit_state: int
     rc_mode: str               # "fanout" | "composite"
     lc_mode: str               # "mpx" | "composite"
+    lex_mode: str              # "flat" | "tree" (prefix-shared lexicon)
     # xs (extended senone sequence) table: rows [0, n_sing) are singletons
     # (<=1 member per state), rows [n_sing, n_sing+n_comp) are composites.
     n_xs: int
@@ -87,6 +88,16 @@ class WordGraph:
     # per word
     firstci: np.ndarray        # [W]
     lastci: np.ndarray         # [W]
+    # tree mode only: static unigram-lookahead smear per channel —
+    # la[c] = max over words whose pronunciation passes through c of
+    # their unigram log-probability (0 for fillers/flat graphs).  The
+    # search scales by lw and applies it incrementally (telescoping along
+    # within-word propagation), then removes it exactly at word exit.
+    la: Optional[np.ndarray] = None          # [C] logP_ug smear
+    la_word: Optional[np.ndarray] = None     # [W] logP_ug at exit (0=filler)
+    # tree mode: word-ordered contiguous exit-channel block start (-1 =
+    # exits are not contiguous; use exit_tab gathers)
+    exit_base: int = -1
 
 
 class _XsTable:
@@ -157,7 +168,8 @@ class _XsTable:
 
 def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
                      d2p: Dict2Pid, rc_mode: str = "fanout",
-                     lc_mode: str = "mpx") -> WordGraph:
+                     lc_mode: str = "mpx", lex_mode: str = "flat",
+                     ug_lookahead: Optional[np.ndarray] = None) -> WordGraph:
     """Build the channel tables for `dict_wids` (search-vocabulary order).
 
     lc_mode="composite" replaces mpx word-begin channels with composite
@@ -166,7 +178,23 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
     lextree.c / srch_time_switch_tree.c).  Every channel's senone sequence
     is then STATIC, which lets the large-vocabulary decode path precompute
     the whole [T, C, S] senone expansion frame-parallel instead of
-    gathering per frame inside the scan."""
+    gathering per frame inside the scan.
+
+    lex_mode="tree" shares word-prefix channels across words: interior
+    channels are interned by the phone prefix THROUGH the lookahead phone
+    (so each trie node has exactly one parent and `prev_chan` stays a
+    gather), the final phone stays per-word (word identity resolved there,
+    like the reference's tree where the last phone is excluded —
+    ngram_search_fwdtree.c:67-149), and single-phone words keep their own
+    channels.  Requires composite lc+rc (static senones, one exit variant).
+    On cmu07a.dic (133k entries) this cuts channels 852k -> 382k, with
+    169x sharing at the first phone and 15x at the second.  The word's LM
+    score moves from entry (identity unknown at a shared root) to the exit
+    readout; `ug_lookahead` ([W] unigram logP, 0 for fillers) provides the
+    in-tree smear (sphinx3 lextree LM lookahead semantics)."""
+    if lex_mode == "tree" and not (rc_mode == "composite"
+                                   and lc_mode == "composite"):
+        raise ValueError("lex_mode='tree' requires composite lc+rc")
     nci = mdef.n_ciphone
     S = mdef.max_emit_state
     W = len(dict_wids)
@@ -200,6 +228,8 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
             lc_rows.append(key)
         return r
 
+    la_l: List[float] = []
+
     def add_chan(k: int, sxs: int, tmat: int, lcrow: int = 0,
                  entry: bool = False, prev: int = -1, base: int = 0) -> int:
         c = len(static_xs)
@@ -210,12 +240,29 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
         lc_row.append(lcrow)
         prev_l.append(prev)
         ci_of.append(base)
+        la_l.append(-np.inf)
         return c
+
+    tree = lex_mode == "tree"
+    ugw = (np.asarray(ug_lookahead, np.float64) if ug_lookahead is not None
+           else np.zeros(W))
+
+    def smear(c: int, k: int) -> None:
+        if la_l[c] < ugw[k]:
+            la_l[c] = float(ugw[k])
 
     # Shared-structure caches (keyed by phone context, not word).
     begin_cache: Dict[Tuple[int, int], Tuple[int, int, int]] = {}
     end_cache: Dict[Tuple[int, int], tuple] = {}
     single_cache: Dict[int, tuple] = {}
+    # Tree-mode channel interning: begin channels by initial diphone,
+    # interior channels by phone prefix through the lookahead phone.
+    # Exit channels are DEFERRED and materialized as one contiguous block
+    # in word order after the trie, so the per-frame exit readout is a
+    # SLICE ex[exit_base : exit_base + W] instead of W row-gathers.
+    tree_begin: Dict[Tuple[int, int], int] = {}
+    tree_int: Dict[Tuple[int, ...], int] = {}
+    tree_pending: List[tuple] = []
 
     for k, wid in enumerate(dict_wids):
         phones = d.pron[wid]
@@ -260,8 +307,12 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
                 single_cache[b] = info
             if info[0] == "c":
                 _, lcrow, sxs, tm = info
+                if tree:
+                    tree_pending.append((k, sxs, tm, lcrow, True, -1, b))
+                    continue
                 c = add_chan(k, sxs, tm, lcrow, entry=True, base=b)
                 exit_lists[k].append(c)
+                smear(c, k)
             else:
                 _, rows, inv, tm = info
                 for lcrow, sxs in rows:
@@ -285,13 +336,34 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
                         int(tmat_of[tab[d2p.sil]]))
             begin_cache[(b, r)] = info
         lcrow, sxs0, tm0 = info
-        prev = add_chan(k, sxs0, tm0, lcrow, entry=True, base=b)
+        if tree:
+            prev = tree_begin.get((b, r))
+            if prev is None:
+                prev = add_chan(k, sxs0, tm0, lcrow, entry=True, base=b)
+                tree_begin[(b, r)] = prev
+            smear(prev, k)
+        else:
+            prev = add_chan(k, sxs0, tm0, lcrow, entry=True, base=b)
 
         for i in range(1, len(phones) - 1):
-            p = pid(int(phones[i]), int(phones[i - 1]), int(phones[i + 1]),
-                    WPOS_INTERNAL)
-            prev = add_chan(k, xs.of_ssid(int(ssid_of[p])), int(tmat_of[p]),
-                            prev=prev, base=int(phones[i]))
+            if tree:
+                key = tuple(int(x) for x in phones[: i + 2])
+                c = tree_int.get(key)
+                if c is None:
+                    p = pid(int(phones[i]), int(phones[i - 1]),
+                            int(phones[i + 1]), WPOS_INTERNAL)
+                    c = add_chan(k, xs.of_ssid(int(ssid_of[p])),
+                                 int(tmat_of[p]), prev=prev,
+                                 base=int(phones[i]))
+                    tree_int[key] = c
+                smear(c, k)
+                prev = c
+            else:
+                p = pid(int(phones[i]), int(phones[i - 1]),
+                        int(phones[i + 1]), WPOS_INTERNAL)
+                prev = add_chan(k, xs.of_ssid(int(ssid_of[p])),
+                                int(tmat_of[p]), prev=prev,
+                                base=int(phones[i]))
 
         e, pe = int(phones[-1]), int(phones[-2])
         info = end_cache.get((e, pe))
@@ -308,12 +380,30 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
             end_cache[(e, pe)] = info
         if info[0] == "c":
             _, sxs, tm = info
-            exit_lists[k].append(add_chan(k, sxs, tm, prev=prev, base=e))
+            if tree:
+                tree_pending.append((k, sxs, tm, 0, False, prev, e))
+                continue
+            c = add_chan(k, sxs, tm, prev=prev, base=e)
+            exit_lists[k].append(c)
+            smear(c, k)
         else:
             _, sxss, inv, tm = info
             for sxs in sxss:
                 exit_lists[k].append(add_chan(k, sxs, tm, prev=prev, base=e))
             rssid[k] = inv
+
+    exit_base = -1
+    if tree:
+        # Materialize the word-ordered exit block (exactly one pending
+        # entry per word, appended in word order by the loop above).
+        assert len(tree_pending) == W
+        exit_base = len(static_xs)
+        for (k, sxs, tm, lcrow, entry, prev, base) in tree_pending:
+            c = add_chan(k, sxs, tm, lcrow, entry=entry, prev=prev,
+                         base=base)
+            assert c == exit_base + k
+            exit_lists[k].append(c)
+            smear(c, k)
 
     n_rcvar = max((len(e) for e in exit_lists), default=1)
     exit_tab = np.full((W, n_rcvar), -1, np.int32)
@@ -323,9 +413,19 @@ def build_word_graph(dict_wids: Sequence[int], d: Dictionary, mdef: Mdef,
     perm, n_sing, sing_sen, sing_valid, comp_mem, comp_valid = xs.arrays()
     lcmap = (perm[np.asarray(lc_rows, np.int32)] if lc_rows
              else np.zeros((1, nci), np.int32))
+    if tree:
+        la_arr = np.asarray(la_l, np.float32)
+        la_arr[~np.isfinite(la_arr)] = 0.0
+        la_word = np.zeros(W, np.float32)
+        for k, lst in enumerate(exit_lists):
+            if lst:
+                la_word[k] = la_arr[lst[0]]
+    else:
+        la_arr = la_word = None
     return WordGraph(
         n_chan=len(static_xs), n_word=W, n_ci=nci, n_emit_state=S,
-        rc_mode=rc_mode, lc_mode=lc_mode,
+        rc_mode=rc_mode, lc_mode=lc_mode, lex_mode=lex_mode,
+        la=la_arr, la_word=la_word, exit_base=exit_base,
         n_xs=len(xs.rows), n_sing=n_sing,
         sing_sen=sing_sen, sing_valid=sing_valid,
         comp_mem=comp_mem, comp_valid=comp_valid,

@@ -83,6 +83,14 @@ NGRAM_ARGS = [
         "contexts, sphinx3 lextree composite triphones — makes every "
         "channel's senones static, enabling the frame-parallel large-"
         "vocabulary decode path); 'auto' follows rcmode"),
+    Arg("lexmode", str, "auto",
+        "Lexicon layout: 'flat' (one phone chain per word, per-word LM "
+        "at entry) or 'tree' (prefix-shared channels, the reference's "
+        "lexicon-tree idea — ngram_search_fwdtree.c:67-149 / sphinx3 "
+        "lextree: word identity resolved at the final phone, unigram "
+        "lookahead smeared in the tree, exact trigram applied at the "
+        "exit readout).  'auto' picks tree at >= 10k words with "
+        "composite contexts; tree requires composite lc+rc"),
     Arg("bestpath", bool, False,
         "Run lattice trigram rescoring after Viterbi (ps -bestpath)"),
     Arg("bestpathlw", float, 9.5, "Language weight for bestpath rescoring"),
@@ -164,9 +172,22 @@ class NgramSearch:
         lc_mode = str(cfg["lcmode"])
         if lc_mode == "auto":
             lc_mode = "mpx" if rc_mode == "fanout" else "composite"
+        lex_mode = str(cfg["lexmode"])
+        if lex_mode == "auto":
+            lex_mode = ("tree" if v.n_word >= 10000
+                        and rc_mode == "composite"
+                        and lc_mode == "composite" else "flat")
+        # Unigram lookahead for the tree smear (0 for fillers — they pay
+        # their own penalties at the exit readout instead).
+        ugla = None
+        if lex_mode == "tree":
+            ugla = np.where(v.is_filler, 0.0,
+                            np.asarray(lm.ug_prob)[np.maximum(v.lmwid, 0)])
         g = self.graph = build_word_graph(v.dict_wid, d, mdef,
                                           Dict2Pid(mdef, d), rc_mode=rc_mode,
-                                          lc_mode=lc_mode)
+                                          lc_mode=lc_mode, lex_mode=lex_mode,
+                                          ug_lookahead=ugla)
+        self._tree = g.lex_mode == "tree"
         # Static-senone fast path: with composite left contexts every
         # channel's senone row is fixed, so the [T, C, S] expansion is
         # frame-parallel; within-word propagation additionally reduces to a
@@ -226,7 +247,13 @@ class NgramSearch:
                 ent0[k] = self.lw * self.lm.bg_score(
                     self.start_lmwid, int(v.lmwid[k])) + self.log_wip
         entc0 = np.full((g.n_chan,), float(NEG_INF), np.float32)
-        entc0[g.is_entry] = ent0[g.word_of[g.is_entry]]
+        if self._tree:
+            # Tree entries carry only the lookahead smear; the exact LM
+            # (including P(w|<s>) for utterance-initial words) is applied
+            # at the exit readout from the (<s>, -1) history payload.
+            entc0[g.is_entry] = self.lw * g.la[g.is_entry]
+        else:
+            entc0[g.is_entry] = ent0[g.word_of[g.is_entry]]
         self._entc0 = jnp.asarray(entc0)
         # Initial mpx rows: silence left context.
         xs0 = g.static_xs.copy()
@@ -239,7 +266,21 @@ class NgramSearch:
             self._exit_col = jnp.asarray(np.maximum(g.exit_tab[:, 0], 0))
             self._tp_bands = tuple(jnp.asarray(b) for b in
                                    hmm_bands(tmat.log_tp[g.tmat_idx]))
-            self._core_static = self._make_core_static()
+            if self._tree:
+                # lw-scaled lookahead tables: per-entry-channel smear,
+                # telescoping within-word delta, and the per-word exit
+                # correction (= lw * ug(w); 0 for fillers).
+                la = self.lw * g.la.astype(np.float64)
+                has_prev = g.prev_chan >= 0
+                delta = np.where(has_prev,
+                                 la - la[np.maximum(g.prev_chan, 0)], 0.0)
+                self._la_entry_c = jnp.asarray(la.astype(np.float32))
+                self._la_delta_c = jnp.asarray(delta.astype(np.float32))
+                self._la_word_lw = jnp.asarray(
+                    (self.lw * g.la_word).astype(np.float32))
+                self._core_static = self._make_core_tree()
+            else:
+                self._core_static = self._make_core_static()
         else:
             self._core = self._make_core(hoisted=True)
             self._core_inline = self._make_core(hoisted=False)
@@ -446,6 +487,132 @@ class NgramSearch:
 
         return core
 
+    def _make_core_tree(self):
+        """Per-frame Viterbi core for the PREFIX-SHARED lexicon tree
+        (lexmode='tree', composite lc+rc, state-major [S, C] layout —
+        same calling convention as the static core, so the whole scan /
+        block-expansion machinery is shared).
+
+        The reference's fwdtree re-expressed dense (ngram_search_fwdtree.c
+        delayed LM scoring; sphinx3 lextree + vithist_rescore): word
+        identity is unknown at shared channels, so no per-word LM is
+        applied at entry — channels carry a STATIC unigram-lookahead smear
+        (telescoping deltas along within-word propagation, so the smear is
+        a precomputed vector add) and every path keeps its entry history
+        (h2, h1) as a token payload.  At the exit readout the smear
+        cancels exactly and the true trigram P(w | h1, h2) is applied to a
+        top-E2 shortlist (pre-selected on the smeared score = the
+        unigram-exact path score), from which the top-E rescored exits
+        become tape slots.  Cross-word re-entry takes the single best
+        rescored exit for ALL roots (the composite-rc analog of
+        word_transition's best-entry approximation — with one exit variant
+        there is no right-context discrimination to exploit)."""
+        g, v = self.graph, self.vocab
+        E, W, C = self.E, v.n_word, g.n_chan
+        S = g.n_emit_state
+        if g.n_rcvar != 1:
+            raise NotImplementedError("tree core requires composite rc")
+        neg = jnp.float32(NEG_INF)
+        lw = jnp.float32(self.lw)
+        log_wip = jnp.float32(self.log_wip)
+        log_pip = jnp.float32(self.log_pip)
+        E2 = min(4 * E, W)
+        use_rows = self.dlm.tg_dense is None
+        psel_bonus = jnp.where(self._is_filler, self._fil_pen, log_wip)
+        has_prev = jnp.asarray(g.prev_chan >= 0)
+
+        def core(hmmc, inputs):
+            alpha0, hist0, hw20, hw10 = hmmc                 # [S*C] flat
+            sen_t, la_t, t, valid = inputs
+            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_sm(
+                alpha0, (hist0, hw20, hw10), sen_t, self._tp_bands)
+
+            if self.prune:
+                bestscr = jnp.max(alpha)
+                amax = jnp.max(alpha.reshape(S, C), axis=0)
+                if self.pl_window:
+                    amax = amax + la_t[self._ci_of]
+                keep = amax > bestscr + jnp.float32(self.log_beam)
+                alpha = jnp.where(jnp.tile(keep, S), alpha, neg)
+                ex = jnp.where(ex > bestscr + jnp.float32(self.log_wbeam),
+                               ex, neg)
+
+            # ---- exit shortlist on the smeared (unigram-exact) score ----
+            # Exit channels are a contiguous word-ordered block: readout
+            # is a slice, not W row-gathers.
+            xb = g.exit_base
+            exh3 = jnp.stack([exh, exh2, exh1], 0)           # [3, C]
+            if xb >= 0:
+                wex = ex[xb : xb + W]                        # [W]
+                wexh3 = exh3[:, xb : xb + W]
+            else:
+                wex = ex[self._exit_col]
+                wexh3 = exh3[:, self._exit_col]
+            psel = wex + psel_bonus
+            v2, wsel2 = jax.lax.top_k(psel, E2)              # [E2]
+            okp = (v2 > neg * 0.5) & valid
+            peh = wexh3[:, wsel2]
+            pe2, ph2, ph1 = peh[0], peh[1], peh[2]
+            wl2 = self._lmwid[wsel2]
+            fil2 = self._is_filler[wsel2]
+            # Exact trigram for the shortlist, replacing the smeared ug.
+            # Sparse LMs (floor-heavy / tiny task LMs) take the probe path:
+            # a [E2, NB+NT] comparison sweep instead of [E2, Vlm] rows.
+            if self.dlm.probe:
+                own = self.dlm.score_tg_probe(ph1, ph2,
+                                              jnp.maximum(wl2, 0))
+            elif use_rows:
+                rows = self.dlm.score_rows(ph1, ph2)         # [E2, Vlm]
+                own = jnp.take_along_axis(
+                    rows, jnp.maximum(wl2, 0)[:, None], axis=1)[:, 0]
+            else:
+                own = self.dlm.score_tg(ph1, ph2, jnp.maximum(wl2, 0))
+            resc = jnp.where(fil2, v2,
+                             v2 - self._la_word_lw[wsel2] + lw * own)
+            resc = jnp.where(okp, resc, neg)
+
+            # ---- top-E rescored exits -> tape slots ----
+            vals, sel = jax.lax.top_k(resc, E)
+            wsel = wsel2[sel]
+            ok = vals > neg * 0.5
+            pe = pe2[sel]
+            prev_h2, prev_h1 = ph2[sel], ph1[sel]
+            wl, fil = wl2[sel], fil2[sel]
+            h2 = jnp.where(fil, prev_h2, wl)
+            h1 = jnp.where(fil, prev_h1, prev_h2)
+            yrow = (jnp.where(ok, wsel, -1), jnp.where(ok, vals, neg),
+                    pe, h2, h1, jnp.where(ok[:, None], vals[:, None], neg))
+
+            # ---- single best re-entry for every root ----
+            has_ent = ok[0]
+            ent = jnp.where(has_ent, vals[0], neg)
+            ent_bp = jnp.where(has_ent, t * E, -1)
+            ent_h2 = h2[0]
+            ent_h1 = h1[0]
+
+            # ---- within-word propagation with telescoping smear ----
+            prop = jnp.where(has_prev,
+                             ex[self._prev_chan_c] + log_pip
+                             + self._la_delta_c, neg)
+            bsh = jnp.where(has_prev[None, :],
+                            exh3[:, self._prev_chan_c], -1)
+            entry_c = jnp.where(self._is_entry,
+                                ent + self._la_entry_c, prop)
+            entry_b = jnp.where(self._is_entry, ent_bp, bsh[0])
+            entry_h2 = jnp.where(self._is_entry, ent_h2, bsh[1])
+            entry_h1 = jnp.where(self._is_entry, ent_h1, bsh[2])
+            alpha, (hist, hw2, hw1) = hmm_enter_sm(
+                alpha, (hist, hw2, hw1), entry_c,
+                (entry_b, entry_h2, entry_h1))
+
+            alpha = jnp.where(valid, alpha, alpha0)
+            hist = jnp.where(valid, hist, hist0)
+            hw2 = jnp.where(valid, hw2, hw20)
+            hw1 = jnp.where(valid, hw1, hw10)
+            return (alpha, hist, hw2, hw1), yrow
+
+        return core
+
     # ------------------------------------------------------------------
     # Explicit-batch static path.  jax.vmap over the two-level scan makes
     # XLA's layout assignment insert physical transposes of every carry
@@ -476,8 +643,127 @@ class NgramSearch:
         if cache is None:
             cache = self._core_b_cache = {}
         if B not in cache:
-            cache[B] = self._make_core_static_batched(B)
+            cache[B] = (self._make_core_tree_batched(B) if self._tree
+                        else self._make_core_static_batched(B))
         return cache[B]
+
+    def _make_core_tree_batched(self, B: int):
+        """Batch-major [B, S, C] variant of the tree core (same layout
+        rationale as _make_core_static_batched: vmap over the frame loop
+        inserts per-frame layout transposes; explicit batch packing keeps
+        channels in lanes)."""
+        g, v = self.graph, self.vocab
+        E, W, C = self.E, v.n_word, g.n_chan
+        S = g.n_emit_state
+        if g.n_rcvar != 1:
+            raise NotImplementedError("tree core requires composite rc")
+        neg = jnp.float32(NEG_INF)
+        lw = jnp.float32(self.lw)
+        log_wip = jnp.float32(self.log_wip)
+        log_pip = jnp.float32(self.log_pip)
+        E2 = min(4 * E, W)
+        use_rows = self.dlm.tg_dense is None
+        psel_bonus = jnp.where(self._is_filler, self._fil_pen, log_wip)
+        has_prev = jnp.asarray(g.prev_chan >= 0)
+
+        def core(hmmc, inputs):
+            alpha0, hist0, hw20, hw10 = hmmc               # [B, S, C]
+            sen_t, t, validb = inputs                      # [B,S,C], [], [B]
+            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_bm(
+                alpha0, (hist0, hw20, hw10), sen_t, self._tp_bands)
+
+            if self.prune:
+                bestscr = jnp.max(alpha, axis=(1, 2))             # [B]
+                amax = jnp.max(alpha, axis=1)                     # [B, C]
+                keep = amax > bestscr[:, None] + jnp.float32(self.log_beam)
+                alpha = jnp.where(keep[:, None, :], alpha, neg)
+                ex = jnp.where(
+                    ex > bestscr[:, None] + jnp.float32(self.log_wbeam),
+                    ex, neg)
+
+            # ---- exit shortlist (smeared scores) ----
+            # Contiguous word-ordered exit block: the [B, W] readout is a
+            # slice; payloads are gathered only for the E2 shortlist.
+            xb = g.exit_base
+            exh3 = jnp.stack([exh, exh2, exh1], 1)                # [B, 3, C]
+            if xb >= 0:
+                wex = ex[:, xb : xb + W]                          # [B, W]
+                wh = exh3[:, :, xb : xb + W]                      # [B, 3, W]
+            else:
+                ex4 = jnp.concatenate([ex[:, None], exh3.astype(
+                    jnp.float32)], 1)                             # [B, 4, C]
+                ex4T = ex4.transpose(2, 1, 0).reshape(C, 4 * B)
+                wx4 = ex4T[self._exit_col].reshape(W, 4, B)
+                wex = wx4[:, 0].T
+                wh = wx4[:, 1:].transpose(2, 1, 0).astype(jnp.int32)
+            psel = wex + psel_bonus[None, :]
+            v2, wsel2 = jax.lax.top_k(psel, E2)                   # [B, E2]
+            okp = (v2 > neg * 0.5) & validb[:, None]
+            peh = jnp.take_along_axis(
+                wh, wsel2[:, None, :], axis=2).astype(jnp.int32)  # [B, 3, E2]
+            pe2, ph2, ph1 = peh[:, 0], peh[:, 1], peh[:, 2]
+            wl2 = self._lmwid[wsel2]
+            fil2 = self._is_filler[wsel2]
+            if self.dlm.probe:
+                own = self.dlm.score_tg_probe(ph1, ph2,
+                                              jnp.maximum(wl2, 0))
+            elif use_rows:
+                rows = self.dlm.score_rows(
+                    ph1.reshape(-1), ph2.reshape(-1))             # [B*E2, V]
+                own = jnp.take_along_axis(
+                    rows, jnp.maximum(wl2, 0).reshape(-1)[:, None],
+                    axis=1).reshape(B, E2)
+            else:
+                own = self.dlm.score_tg(ph1, ph2, jnp.maximum(wl2, 0))
+            resc = jnp.where(fil2, v2,
+                             v2 - self._la_word_lw[wsel2] + lw * own)
+            resc = jnp.where(okp, resc, neg)
+
+            # ---- top-E rescored exits -> tape slots ----
+            vals, sel = jax.lax.top_k(resc, E)                    # [B, E]
+            wsel = jnp.take_along_axis(wsel2, sel, axis=1)
+            ok = vals > neg * 0.5
+            pe = jnp.take_along_axis(pe2, sel, axis=1)
+            prev_h2 = jnp.take_along_axis(ph2, sel, axis=1)
+            prev_h1 = jnp.take_along_axis(ph1, sel, axis=1)
+            wl = self._lmwid[wsel]
+            fil = self._is_filler[wsel]
+            h2 = jnp.where(fil, prev_h2, wl)
+            h1 = jnp.where(fil, prev_h1, prev_h2)
+            yrow = (jnp.where(ok, wsel, -1), jnp.where(ok, vals, neg),
+                    pe, h2, h1,
+                    jnp.where(ok[..., None], vals[..., None], neg))
+
+            # ---- single best re-entry per lane ----
+            has_ent = ok[:, 0]
+            ent = jnp.where(has_ent, vals[:, 0], neg)             # [B]
+            ent_bp = jnp.where(has_ent, t * E, -1)
+            ent_h2, ent_h1 = h2[:, 0], h1[:, 0]
+
+            # ---- within-word propagation with telescoping smear ----
+            prop = jnp.where(has_prev[None, :],
+                             ex[:, self._prev_chan_c] + log_pip
+                             + self._la_delta_c[None, :], neg)
+            bsh = jnp.where(has_prev[None, None, :],
+                            exh3[:, :, self._prev_chan_c], -1)
+            ie = self._is_entry[None, :]
+            entry_c = jnp.where(ie, ent[:, None]
+                                + self._la_entry_c[None, :], prop)
+            entry_b = jnp.where(ie, ent_bp[:, None], bsh[:, 0])
+            entry_h2 = jnp.where(ie, ent_h2[:, None], bsh[:, 1])
+            entry_h1 = jnp.where(ie, ent_h1[:, None], bsh[:, 2])
+            alpha, (hist, hw2, hw1) = hmm_enter_bm(
+                alpha, (hist, hw2, hw1), entry_c,
+                (entry_b, entry_h2, entry_h1))
+
+            vm = validb[:, None, None]
+            alpha = jnp.where(vm, alpha, alpha0)
+            hist = jnp.where(vm, hist, hist0)
+            hw2 = jnp.where(vm, hw2, hw20)
+            hw1 = jnp.where(vm, hw1, hw10)
+            return (alpha, hist, hw2, hw1), yrow
+
+        return core
 
     def _make_core_static_batched(self, B: int):
         """Batched static core: arrays batch-major [B, S, C] / [B, C] —
@@ -957,22 +1243,32 @@ class NgramSearch:
         neg = jnp.float32(NEG_INF)
         n_slots = tw.shape[0]
         sidx = jnp.arange(n_slots, dtype=jnp.int32)
-        twc = jnp.maximum(tw, 0)
         valid = (tw >= 0) & (sidx < T * E)
-        rc = trc[sidx, self._rssid[twc, self.sil_ci]]
-        s = jnp.where(rc > neg * 0.5, rc, tsc)
-        tg = self.dlm.score_tg(
-            th1, th2, jnp.full((n_slots,), self.finish_lmwid, jnp.int32))
-        s = s + jnp.where(self._is_finish_d[twc], 0.0,
-                          jnp.float32(self.lw) * tg)
-        s = jnp.where(valid, s, neg)
         frame = sidx // E
         fbest = jnp.max(jnp.where(valid, frame, -1))
-        cand = valid & (frame == fbest)
-        scand = jnp.where(cand, s, neg)
-        slot0 = jnp.argmax(scand).astype(jnp.int32)
-        score = scand[slot0]
-        slot0 = jnp.where(fbest >= 0, slot0, -1)
+        # Final-slot scoring only needs the LAST frame with exits: slice
+        # its E slots and run the rc readout + P(</s>|h) on E lanes
+        # instead of all T*E (the full-tape CSR trigram search was a
+        # per-decode cost growing with T*E — material at 60k vocabulary).
+        base = jnp.maximum(fbest, 0) * E
+        tw_f = jax.lax.dynamic_slice(tw, (base,), (E,))
+        tsc_f = jax.lax.dynamic_slice(tsc, (base,), (E,))
+        th2_f = jax.lax.dynamic_slice(th2, (base,), (E,))
+        th1_f = jax.lax.dynamic_slice(th1, (base,), (E,))
+        trc_f = jax.lax.dynamic_slice(trc, (base, 0),
+                                      (E, trc.shape[1]))
+        twc = jnp.maximum(tw_f, 0)
+        valid_f = tw_f >= 0
+        rc = trc_f[jnp.arange(E), self._rssid[twc, self.sil_ci]]
+        s = jnp.where(rc > neg * 0.5, rc, tsc_f)
+        tg = self.dlm.score_tg(
+            th1_f, th2_f, jnp.full((E,), self.finish_lmwid, jnp.int32))
+        s = s + jnp.where(self._is_finish_d[twc], 0.0,
+                          jnp.float32(self.lw) * tg)
+        s = jnp.where(valid_f, s, neg)
+        e0 = jnp.argmax(s).astype(jnp.int32)
+        score = s[e0]
+        slot0 = jnp.where(fbest >= 0, base + e0, -1)
 
         # Pointer chase as a while_loop: the chain length is bounded by the
         # number of words.  The topology's true minimum word duration is 2
@@ -1255,7 +1551,8 @@ class NgramSearch:
         D = int(feats_list[0].shape[1])
         Ts = [int(f.shape[0]) for f in feats_list]
         if not hasattr(self, "_batch_fn"):
-            if self._fast and not self.pl_window and self.graph.n_rcvar == 1:
+            if (self._fast and not self.pl_window
+                    and self.graph.n_rcvar == 1):
                 # Explicit-batch path: vmap over the frame loop makes XLA
                 # insert per-frame layout transposes (see the packing note
                 # at device_decode_batched); only the cheap backtrace is
@@ -1315,7 +1612,8 @@ class NgramSearch:
                 del self._batch_cep_fn
             self._batch_cep_fp = fp
         if not hasattr(self, "_batch_cep_fn"):
-            if self._fast and not self.pl_window and self.graph.n_rcvar == 1:
+            if (self._fast and not self.pl_window
+                    and self.graph.n_rcvar == 1):
                 def _full_b(c, v, T):
                     f = jax.vmap(
                         lambda ci, Ti: fp._padded_kernel(ci, Ti, True))(c, T)

@@ -80,6 +80,23 @@ class DeviceNgram:
         V = self.V
         if V and (V + 1) * (V + 1) * V * 4 <= dense3_limit:
             self.tg_dense = jnp.asarray(self._build_dense3(m))
+        # Small-LM probe tables: when the LM has few bigrams/trigrams
+        # (floor-heavy LMs, tiny task LMs), an exact (h1, h2, w) score is
+        # ONE [lanes, NB]+[lanes, NT] comparison sweep on the VPU — far
+        # cheaper than per-lane binary searches (serialized gathers) or
+        # materializing [lanes, V] score rows.
+        self.probe = False
+        if 0 < self.NB + self.NT <= (16 << 10):
+            bg_w1 = np.repeat(np.arange(max(V, 1)),
+                              np.diff(m.bg_ptr)).astype(np.int32)
+            self._p_bg_w1 = jnp.asarray(bg_w1)
+            if self.NT:
+                tg_b = np.repeat(np.arange(self.NB),
+                                 np.diff(m.tg_ptr)).astype(np.int64)
+                self._p_tg_w1 = jnp.asarray(bg_w1[tg_b])
+                self._p_tg_w2 = jnp.asarray(
+                    np.asarray(m.bg_wid)[tg_b].astype(np.int32))
+            self.probe = True
 
     def _build_dense3(self, m: NgramModel) -> np.ndarray:
         """Host-side dense [V+1, V+1, V] fully-backed-off trigram scores.
@@ -172,6 +189,38 @@ class DeviceNgram:
             rows = rows.at[rowsel, cols].set(self.tg_prob[idx])
         return rows[:, :V]
 
+    def score_tg_probe(self, w1, w2, w3):
+        """Exact trigram backoff scores via full comparison against the
+        (small) bigram/trigram lists — no searches, no row scatters.
+        Shapes broadcast; intended for <= ~4k query lanes x <= 16k entries.
+        Matches score_tg elementwise."""
+        w1, w2, w3 = jnp.broadcast_arrays(w1, w2, w3)
+        shp = w1.shape
+        w1, w2, w3 = w1.reshape(-1), w2.reshape(-1), w3.reshape(-1)
+        w2c = jnp.maximum(w2, 0)
+        ug3 = self.ug_prob[jnp.maximum(w3, 0)]
+        # bg(w2, w3)
+        h23 = ((self._p_bg_w1[None, :] == w2[:, None])
+               & (self.bg_wid[None, :] == w3[:, None]))
+        has23 = jnp.any(h23, axis=1)
+        p23 = jnp.sum(jnp.where(h23, self.bg_prob[None, :], 0.0), axis=1)
+        bg23 = jnp.where(w2 < 0, ug3,
+                         jnp.where(has23, p23, self.ug_bo[w2c] + ug3))
+        if self.n < 3 or self.NT == 0:
+            return bg23.reshape(shp)
+        # bg(w1, w2) backoff weight
+        h12 = ((self._p_bg_w1[None, :] == w1[:, None])
+               & (self.bg_wid[None, :] == w2[:, None]))
+        bo12 = jnp.sum(jnp.where(h12, self.bg_bo[None, :], 0.0), axis=1)
+        # tg(w1, w2, w3)
+        ht = ((self._p_tg_w1[None, :] == w1[:, None])
+              & (self._p_tg_w2[None, :] == w2[:, None])
+              & (self.tg_wid[None, :] == w3[:, None]))
+        hast = jnp.any(ht, axis=1)
+        pt = jnp.sum(jnp.where(ht, self.tg_prob[None, :], 0.0), axis=1)
+        s = jnp.where(hast, pt, bo12 + bg23)
+        return jnp.where(w1 < 0, bg23, s).reshape(shp)
+
     def score_tg(self, w1, w2, w3):
         """Full trigram backoff chain, vectorized over query arrays.
 
@@ -182,6 +231,11 @@ class DeviceNgram:
             i2 = jnp.where(w2 < 0, self.V, w2)
             w1b, w2b, w3b = jnp.broadcast_arrays(i1, i2, w3)
             return self.tg_dense[w1b, w2b, w3b]
+        shp = np.broadcast_shapes(jnp.shape(w1), jnp.shape(w2),
+                                  jnp.shape(w3))
+        if (self.probe
+                and int(np.prod(shp)) * (self.NB + self.NT) <= (64 << 20)):
+            return self.score_tg_probe(w1, w2, w3)
         bg23 = self.score_bg(w2, w3)
         if self.n < 3 or self.NT == 0:
             return bg23

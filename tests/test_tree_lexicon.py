@@ -1,0 +1,120 @@
+"""Prefix-shared lexicon tree (lexmode='tree') and the sparse-LM probe.
+
+Reference capability: pocketsphinx ngram_search_fwdtree.c:67-149 (shared
+tree, last phone excluded, delayed LM scoring), sphinx3 lextree + vithist
+rescoring, srch_time_switch_tree.c histogram pruning.
+"""
+
+import numpy as np
+import pytest
+
+from cmusphinx_tpu.models.ngram_device import DeviceNgram
+
+
+@pytest.fixture(scope="module")
+def tidigits_parts(reference_root):
+    from cmusphinx_tpu.frontend.fe import FE_ARGS
+    from cmusphinx_tpu.frontend.feat import FEAT_ARGS, FeatPipeline
+    from cmusphinx_tpu.models import Mdef, TransitionMatrices, read_sendump
+    from cmusphinx_tpu.models.dict import Dictionary
+    from cmusphinx_tpu.models.gauden import read_gauden
+    from cmusphinx_tpu.models.ngram import NgramModel
+    from cmusphinx_tpu.ops.gmm import PsParityScorer
+    from cmusphinx_tpu.utils.bio import read_mfc
+    from cmusphinx_tpu.utils.config import Config
+
+    R = reference_root / "pocketsphinx"
+    H = R / "model/hmm/en/tidigits"
+    mdef = Mdef.read(str(H / "mdef"))
+    g = read_gauden(str(H / "means"), str(H / "variances"))
+    w, meta = read_sendump(str(H / "sendump"), return_raw=True)
+    tmat = TransitionMatrices.read(str(H / "transition_matrices"))
+    d = Dictionary.read(str(R / "model/lm/en/tidigits.dic"), mdef)
+    lm = NgramModel.read(str(R / "model/lm/en/tidigits.DMP"))
+    cfg = Config(FE_ARGS, FEAT_ARGS)
+    cfg.update_from_file(str(H / "feat.params"))
+    fp = FeatPipeline(cfg)
+    scorer = PsParityScorer(g, w, fp.stream_slices(),
+                            wrap_uint8=meta["n_bits"] == 4)
+    ctl = [l.strip() for l in
+           open(R / "test/data/tidigits/tidigits.ctl") if l.strip()][:10]
+    lsn = {}
+    for line in open(R / "test/data/tidigits/tidigits.lsn"):
+        p = line.split()
+        lsn[p[-1].strip("()")] = " ".join(p[:-1])
+    feats = [np.asarray(fp.compute(read_mfc(
+        str(R / f"test/data/tidigits/{u}.mfc")))) for u in ctl]
+    return dict(lm=lm, d=d, mdef=mdef, tmat=tmat, scorer=scorer,
+                ctl=ctl, lsn=lsn, feats=feats)
+
+
+def _mk_search(p, **kw):
+    from cmusphinx_tpu.decode import NgramSearch
+    return NgramSearch(p["lm"], p["d"], p["mdef"], p["tmat"], p["scorer"],
+                       **kw)
+
+
+def test_tree_requires_composite(tidigits_parts):
+    with pytest.raises(ValueError):
+        _mk_search(tidigits_parts, rcmode="fanout", lexmode="tree")
+
+
+def test_tree_graph_structure(tidigits_parts):
+    s = _mk_search(tidigits_parts, rcmode="composite", lcmode="composite",
+                   lexmode="tree")
+    g = s.graph
+    assert g.lex_mode == "tree"
+    # One contiguous word-ordered exit block.
+    assert g.exit_base >= 0
+    W = s.vocab.n_word
+    assert np.array_equal(g.exit_tab[:, 0],
+                          np.arange(g.exit_base, g.exit_base + W))
+    # Trie in-degree <= 1 holds and parents precede children.
+    pc = g.prev_chan
+    assert np.all(pc < np.arange(g.n_chan))
+    # Lookahead smear: every channel's la >= its exit word's la (the max
+    # over words below can only grow toward the root).
+    assert g.la is not None and g.la_word is not None
+    assert np.all(g.la[g.exit_tab[:, 0]] == g.la_word)
+
+
+def test_tree_decodes_like_flat(tidigits_parts):
+    p = tidigits_parts
+    flat = _mk_search(p, rcmode="composite", lcmode="composite",
+                      lexmode="flat")
+    tree = _mk_search(p, rcmode="composite", lcmode="composite",
+                      lexmode="tree")
+    hf = flat.decode_batch(p["feats"])
+    ht = tree.decode_batch(p["feats"])
+    n_f = sum(h.text == p["lsn"][u] for h, u in zip(hf, p["ctl"]))
+    n_t = sum(h.text == p["lsn"][u] for h, u in zip(ht, p["ctl"]))
+    # The tree's delayed-LM approximation may differ on ties, but accuracy
+    # must match on this easy task.
+    assert n_t >= n_f - 1 and n_t >= len(p["ctl"]) - 1
+
+
+def test_tree_single_utterance_path(tidigits_parts):
+    p = tidigits_parts
+    tree = _mk_search(p, rcmode="composite", lcmode="composite",
+                      lexmode="tree")
+    hyp = tree.decode(p["feats"][0])
+    assert hyp.text == p["lsn"][p["ctl"][0]]
+    # Results layer on top of the tree tape.
+    lat = tree.get_lattice()
+    bp = lat.bestpath(lw=tree.lw, start_lmwid=tree.start_lmwid)
+    assert bp.score >= hyp.score - 0.1
+
+
+def test_probe_matches_csr(tidigits_parts):
+    lm = tidigits_parts["lm"]
+    dlm = DeviceNgram(lm, dense3_limit=0)   # force CSR/probe paths
+    assert dlm.probe
+    rng = np.random.RandomState(7)
+    V = lm.n_words
+    w1 = rng.randint(-1, V, 500).astype(np.int32)
+    w2 = rng.randint(-1, V, 500).astype(np.int32)
+    w3 = rng.randint(0, V, 500).astype(np.int32)
+    got = np.asarray(dlm.score_tg_probe(w1, w2, w3))
+    want = np.asarray([lm.tg_score(int(a), int(b), int(c))
+                       for a, b, c in zip(w1, w2, w3)])
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
