@@ -16,13 +16,16 @@ import sys
 import numpy as np
 
 from ..api import DECODER_ARGS, Decoder
-from ..frontend.vad import ContAD
 from ..utils.config import Arg, Config
 from .batch import parse_argv
 
 CONT_ARGS = [
-    Arg("infile", str, "", "Audio file to transcribe (16-bit headerless PCM)"),
+    Arg("infile", str, "",
+        "Audio file to transcribe (16-bit headerless PCM, or .wav)"),
     Arg("vad_delta", float, 9.0, "Speech onset threshold over noise floor (dB)"),
+    Arg("partials", bool, False,
+        "Print streaming partial hypotheses during speech segments "
+        "(gst-plugin partial-result bus messages)"),
     Arg("platform", str, "", "Force a JAX platform (e.g. cpu)"),
 ]
 
@@ -40,24 +43,26 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", str(cfg["platform"]))
     if not str(cfg["infile"]):
         raise SystemExit("-infile is required (no audio device in this environment)")
+    from ..frontend.source import RawFileSource, WavFileSource
+    from ..pipeline import SpeechPipeline
     dec = Decoder(cfg)
     sr = float(cfg["samprate"])
-    vad = ContAD(sample_rate=sr, delta=float(cfg["vad_delta"]))
-    data = np.frombuffer(open(str(cfg["infile"]), "rb").read(),
-                         np.int16).astype(np.float32)
-    # Stream in ~250 ms chunks as a live source would.
-    chunk = int(sr // 4)
-    segs = []
-    for i in range(0, len(data), chunk):
-        segs.extend(vad.process(data[i : i + chunk]))
-    segs.extend(vad.end_stream())
-    for k, seg in enumerate(segs):
-        dec.start_utt()
-        dec.process_raw(seg.data)
-        hyp = dec.end_utt()
-        t0 = seg.start_sample / sr
-        t1 = seg.end_sample / sr
+    path = str(cfg["infile"])
+    src = (WavFileSource(path) if path.endswith(".wav")
+           else RawFileSource(path, sample_rate=sr))
+
+    def on_partial(text, t):
+        if bool(cfg["partials"]) and text:
+            print(f"  partial @{t:7.2f}s: {text}", flush=True)
+
+    def on_result(hyp, t0, t1):
         print(f"[{t0:8.2f} - {t1:8.2f}] {hyp.text}", flush=True)
+
+    pipe = SpeechPipeline(dec, on_partial=on_partial, on_result=on_result,
+                          vad_delta=float(cfg["vad_delta"]),
+                          sample_rate=src.sample_rate)
+    pipe.run(src)
+    src.close()
     if not segs:
         print("(no speech detected)")
     return 0

@@ -109,8 +109,14 @@ class FeatPipeline:
         init = [float(x) for x in str(cfg["cmninit"]).split(",") if x.strip()]
         self._cmn_mean = np.zeros(self.cepsize, np.float32)
         self._cmn_mean[: len(init)] = init[: self.cepsize]
+        # Prior-mode CMN primes BOTH the sum and the frame count with the
+        # init mean's virtual window (cmn_prior.c:73-75: sum = mean *
+        # CMN_WIN; nframe = CMN_WIN).  Priming only the sum inflated the
+        # first refreshed mean by ~(1 + 500/T) and wrecked the SECOND
+        # streaming utterance of a session (found driving consecutive
+        # utterances through the push pipeline).
         self._cmn_sum = self._cmn_mean * 500.0
-        self._cmn_nframe = 500 if self.cmn_type == "prior" else 0
+        self._cmn_nframe = 500
         self._agc_max = 5.0 if self.cmn_type != "none" else 10.0
         self._agc_obs_max = -np.inf
         self._agc_obs_sum = 0.0
