@@ -1,0 +1,68 @@
+"""Approximate-GMM ops: frame downsampling + CIGMMS masked forms.
+
+Reference: sphinx3 approx_cont_mgau.c:108-276.  The WER/speed verdicts
+live in EVALS.md (evals/run_approx_gmm.py); these tests pin the exact
+semantics of the dense formulations.
+"""
+
+import numpy as np
+import pytest
+
+from cmusphinx_tpu.ops.approx import CigmmsScorer, DownsampledScorer
+
+
+class _FnScorer:
+    """Scores derived from the features so slicing semantics flow through:
+    score(t) = [x, 2x, x+1] for x = feats[t, 0]."""
+    n_sen = 3
+
+    def score(self, feats):
+        import jax.numpy as jnp
+        x = feats[:, 0]
+        return jnp.stack([x, 2.0 * x, x + 1.0], axis=1)
+
+
+class _ToyScorer:
+    def __init__(self, scores):
+        self._s = np.asarray(scores, np.float32)
+        self.n_sen = self._s.shape[1]
+
+    def score(self, feats):
+        import jax.numpy as jnp
+        return jnp.asarray(self._s[: feats.shape[0]])
+
+
+def test_downsample_repeats_previous_frame():
+    import jax.numpy as jnp
+    T = 7
+    feats = jnp.asarray(np.arange(T, dtype=np.float32)[:, None])
+    sc = DownsampledScorer(_FnScorer(), 2)
+    out = np.asarray(sc.score(feats))
+    assert out.shape == (T, 3)
+    for t in range(T):
+        x = float((t // 2) * 2)   # skipped frames reuse the previous one
+        np.testing.assert_array_equal(out[t], [x, 2 * x, x + 1])
+
+
+def test_downsample_ratio_one_is_identity():
+    import jax.numpy as jnp
+    feats = jnp.asarray(np.arange(5, dtype=np.float32)[:, None])
+    sc = DownsampledScorer(_FnScorer(), 1)
+    np.testing.assert_array_equal(np.asarray(sc.score(feats)),
+                                  np.asarray(_FnScorer().score(feats)))
+
+
+def test_cigmms_bypass():
+    import jax.numpy as jnp
+    # 2 CI senones + 2 CD senones; cd2ci maps CD->CI parents.
+    #            ci0   ci1   cd0(p=ci0) cd1(p=ci1)
+    s = np.array([[0.0, -10.0, 5.0,      7.0]], np.float32)
+    cd2ci = np.array([0, 1, 0, 1], np.int32)
+    sc = CigmmsScorer(_ToyScorer(s), cd2ci, n_ci_sen=2, ci_pbeam=4.0)
+    out = np.asarray(sc.score(jnp.zeros((1, 2))))
+    # best CI = 0.0; ci1 is 10 below -> cd1 bypassed to its parent score.
+    np.testing.assert_allclose(out[0], [0.0, -10.0, 5.0, -10.0])
+    # wide beam: nothing bypassed
+    sc2 = CigmmsScorer(_ToyScorer(s), cd2ci, n_ci_sen=2, ci_pbeam=50.0)
+    np.testing.assert_allclose(np.asarray(sc2.score(jnp.zeros((1, 2))))[0],
+                               s[0])
