@@ -32,6 +32,11 @@ BATCH_ARGS = [
     Arg("outlatdir", str, "", "Directory for dumping word lattices"),
     Arg("nbestdir", str, "", "Directory for writing N-best hypothesis lists"),
     Arg("nbest", int, 0, "Number of N-best hypotheses to write per utterance"),
+    Arg("part", int, 0,
+        "Process only partition `part` of `npart` of the control file "
+        "(1-based; bw/sphinx3 -part semantics, corpus.c).  With 0, a "
+        "multi-host run auto-selects this host's partition"),
+    Arg("npart", int, 0, "Total number of control-file partitions"),
     Arg("platform", str, "", "Force a JAX platform (e.g. cpu)"),
     Arg("logfn", str, "", "Log file (err.h err_set_logfile)"),
     Arg("debug", int, 0, "Debug level (err.h err_set_debug_level)"),
@@ -86,6 +91,17 @@ def main(argv=None) -> int:
                g.n_chan, g.n_word, getattr(g, "rc_mode", "?"))
 
     ctl = [l.strip() for l in open(str(cfg["ctl"])) if l.strip()]
+    # Corpus partitioning (bw -part/-npart; multi-host auto-partition).
+    from ..parallel import init_distributed, partition_ctl
+    npart, part = int(cfg["npart"]), int(cfg["part"])
+    if npart > 1 and part == 0:
+        info = init_distributed()
+        if info.num_processes > 1:
+            part = info.process_id + 1
+    if npart > 1 and part > 0:
+        ctl = partition_ctl(ctl, part, npart)
+        E_INFO("processing partition %d/%d: %d utterances",
+               part, npart, len(ctl))
     hyp_fh = open(str(cfg["hyp"]), "w") if str(cfg["hyp"]) else None
     seg_fh = open(str(cfg["hypseg"]), "w") if str(cfg["hypseg"]) else None
     total_audio = total_wall = 0.0

@@ -387,3 +387,60 @@ def convert_htk(mmf_path: str, outdir: str, varfloor: float = 1e-4,
     """htk2s3conv one-call: HTK MMF -> Sphinx-3 model directory."""
     return HtkModelSet.read(mmf_path).convert(outdir, varfloor=varfloor,
                                               feat=feat)
+
+
+# ---------------------------------------------------------------------------
+def write_mmf(path: str, mdef, gauden, mixw: np.ndarray,
+              tmat_probs: np.ndarray, parmkind: str = "USER") -> None:
+    """Export a CONTINUOUS Sphinx-3 model as an HTK MMF (the reverse of
+    HtkModelSet.read/convert — sphinx -> HTK interchange, complementing the
+    htk2s3conv direction).
+
+    mdef: Mdef; gauden: GaussianParams (single stream); mixw: LINEAR
+    mixture weights [n_sen, K]; tmat_probs: [n_tmat, n_state, n_state+1]
+    probabilities.  Triphones are named `lc-base+rc`; CI phones keep their
+    plain names.  Each phone's states are written inline (no ~s/~t macros
+    — sharing is reconstructed by value interning on re-import).
+    """
+    if gauden.n_feat != 1:
+        raise ValueError("MMF export needs a single-stream model")
+    D = int(gauden.veclen[0])
+    K = gauden.n_density
+    S = mdef.n_emit_state
+    N = S + 2
+    bad = int(np.int32(np.uint16(0xFFFF)))
+
+    def fvec(v):
+        return " ".join(f"{x:.7e}" for x in np.asarray(v, np.float64))
+
+    with open(path, "w") as fh:
+        fh.write(f"~o <VecSize> {D} <{parmkind}>\n")
+        for p in range(mdef.n_phone):
+            b, lc, rc, _ = mdef.phone_ctx[p]
+            base = mdef.ciname[b]
+            if lc >= 0 or rc >= 0:
+                name = (f"{mdef.ciname[lc] if lc >= 0 else ''}-{base}"
+                        f"+{mdef.ciname[rc] if rc >= 0 else ''}")
+            else:
+                name = base
+            sen = mdef.sseq[mdef.phone_ssid[p]][:S]
+            fh.write(f'~h "{name}"\n<BeginHMM>\n<NumStates> {N}\n')
+            for s in range(S):
+                sid = int(sen[s])
+                if sid == bad:
+                    continue
+                fh.write(f"<State> {s + 2}\n<NumMixes> {K}\n")
+                for k in range(K):
+                    fh.write(f"<Mixture> {k + 1} {mixw[sid, k]:.7e}\n")
+                    fh.write(f"<Mean> {D}\n"
+                             f"{fvec(gauden.means[sid, 0, k, :D])}\n")
+                    fh.write(f"<Variance> {D}\n"
+                             f"{fvec(gauden.var[sid, 0, k, :D])}\n")
+            tm = tmat_probs[int(mdef.phone_tmat[p])]
+            full = np.zeros((N, N), np.float64)
+            full[0, 1] = 1.0
+            full[1:-1, 1:] = tm[:, : N - 1]
+            fh.write(f"<TransP> {N}\n")
+            for r in range(N):
+                fh.write(fvec(full[r]) + "\n")
+            fh.write("<EndHMM>\n")

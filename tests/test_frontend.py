@@ -159,3 +159,27 @@ def test_prior_cmn_live():
     assert out.shape == (40, 13)
     # After the utterance the running mean should move toward the data mean.
     assert abs(float(fp._cmn_mean[0]) - float(cep[:, 0].mean())) < 1.5
+
+
+def test_dither_seed_determinism(chan3):
+    """-dither -seed contract (reference regression
+    test-sphinx_fe-dither-seed.sh): a fixed seed makes dithered cepstra
+    exactly repeatable; different seeds differ; dither off differs from
+    dither on."""
+    from cmusphinx_tpu.utils.config import Config
+    from cmusphinx_tpu.frontend.fe import FE_ARGS
+    raw, _ = chan3
+    mk = lambda **kw: Frontend(Config(FE_ARGS).update(  # noqa: E731
+        **CHAN3_ARGS, **kw))
+    a1 = np.asarray(mk(dither=True, seed=1234).process(raw))
+    a2 = np.asarray(mk(dither=True, seed=1234).process(raw))
+    np.testing.assert_array_equal(a1, a2)
+    # repeatable across calls of the SAME instance too (the RNG reseeds
+    # per utterance, fe_start_utt genrand_seed semantics)
+    fe = mk(dither=True, seed=1234)
+    np.testing.assert_array_equal(np.asarray(fe.process(raw)),
+                                  np.asarray(fe.process(raw)))
+    b = np.asarray(mk(dither=True, seed=5678).process(raw))
+    assert not np.array_equal(a1, b)
+    c = np.asarray(mk(dither=False).process(raw))
+    assert not np.array_equal(a1, c)

@@ -136,3 +136,76 @@ def test_htk_convert_and_load(tmp_path):
     sil_sen = int(m2.sseq[m2.phone_ssid[sil], 0])
     ax_sen = int(m2.sseq[m2.phone_ssid[ax], 0])
     assert scores[0, sil_sen] > scores[0, ax_sen]
+
+
+def test_mmf_roundtrip_real_model(reference_root, tmp_path):
+    """Round-trip a REAL shipped continuous model through HTK MMF text:
+    s3 -> write_mmf -> HtkModelSet.read -> convert -> s3, then compare
+    every phone-state's Gaussians/weights and transitions (round-2/3
+    reviews flagged that the converter was only exercised on synthetic
+    fixtures)."""
+    import numpy as np
+    from cmusphinx_tpu.models.gauden import read_gauden
+    from cmusphinx_tpu.models.htk import HtkModelSet, write_mmf
+    from cmusphinx_tpu.models.mdef import Mdef
+    from cmusphinx_tpu.models.sendump import read_mixture_weights
+    from cmusphinx_tpu.models.tmat import TransitionMatrices
+
+    H = str(reference_root
+            / "sphinx3/model/hmm/tidigits/wd_dependent_phone"
+              ".cd_continuous_8gau")
+    mdef = Mdef.read(H + "/mdef")
+    g = read_gauden(H + "/means", H + "/variances")
+    lnw = read_mixture_weights(H + "/mixture_weights")   # [nf, K, S] ln
+    mixw = np.exp(lnw[0].T)                              # [S, K] linear
+    tmat = TransitionMatrices.read(H + "/transition_matrices")
+    tprobs = np.where(tmat.log_tp > -1e29, np.exp(tmat.log_tp), 0.0)
+
+    mmf = tmp_path / "model.mmf"
+    write_mmf(str(mmf), mdef, g, mixw, tprobs)
+    ms = HtkModelSet.read(str(mmf))
+    assert len(ms.hmms) == mdef.n_phone
+    assert ms.vecsize == 39
+
+    out = tmp_path / "s3"
+    m2 = ms.convert(str(out))
+    g2 = read_gauden(str(out / "means"), str(out / "variances"))
+    lnw2 = read_mixture_weights(str(out / "mixture_weights"))
+    mixw2 = np.exp(lnw2[0].T)
+    tm2 = TransitionMatrices.read(str(out / "transition_matrices"))
+
+    # Compare per phone-state via each mdef's own senone mapping (senone
+    # NUMBERING may legitimately permute through the round trip).
+    name2 = {}
+    for p in range(m2.n_phone):
+        b, lc, rc, _ = m2.phone_ctx[p]
+        base = m2.ciname[b]
+        nm = (f"{m2.ciname[lc]}-{base}+{m2.ciname[rc]}"
+              if (lc >= 0 or rc >= 0) else base)
+        name2[nm] = p
+    S = mdef.n_emit_state
+    checked = 0
+    for p in range(mdef.n_phone):
+        b, lc, rc, _ = mdef.phone_ctx[p]
+        base = mdef.ciname[b]
+        nm = (f"{mdef.ciname[lc]}-{base}+{mdef.ciname[rc]}"
+              if (lc >= 0 or rc >= 0) else base)
+        p2 = name2[nm]
+        sen1 = mdef.sseq[mdef.phone_ssid[p]][:S]
+        sen2 = m2.sseq[m2.phone_ssid[p2]][:S]
+        for s in range(S):
+            a, b_ = int(sen1[s]), int(sen2[s])
+            np.testing.assert_allclose(
+                g.means[a, 0], g2.means[b_, 0], rtol=2e-6, atol=2e-6)
+            np.testing.assert_allclose(
+                g.var[a, 0], g2.var[b_, 0], rtol=2e-6, atol=2e-6)
+            np.testing.assert_allclose(
+                mixw[a], mixw2[b_], rtol=1e-5, atol=1e-7)
+            checked += 1
+        np.testing.assert_allclose(
+            np.where(tmat.log_tp[mdef.phone_tmat[p]] > -1e29,
+                     np.exp(tmat.log_tp[mdef.phone_tmat[p]]), 0.0),
+            np.where(tm2.log_tp[m2.phone_tmat[p2]] > -1e29,
+                     np.exp(tm2.log_tp[m2.phone_tmat[p2]]), 0.0),
+            rtol=1e-5, atol=1e-6)
+    assert checked == mdef.n_phone * S
