@@ -323,3 +323,62 @@ def _prune_dead_links(fsg: FsgModel) -> None:
                 changed = True
     fsg.links = [l for l in fsg.links
                  if fwd[l.from_state] and bwd[l.to_state]]
+
+
+# ---------------------------------------------------------------------------
+def sample_sentences(cfg: "Cfg", n: int, seed: int = 0,
+                     max_depth: int = 64) -> List[List[str]]:
+    """Sample sentences from the weighted CFG (logios
+    Tools/cfg2ngram/src capability: PCFG corpus generation for n-gram
+    estimation).  Rules are drawn proportionally to their scores; deep
+    recursions are re-drawn (bounded like the FSG conversion).
+    """
+    import random
+    rng = random.Random(seed)
+    out: List[List[str]] = []
+
+    def gen(nt: str, depth: int) -> Optional[List[str]]:
+        if depth > max_depth:
+            return None
+        rules = cfg.productions(nt)
+        if not rules:
+            raise ValueError(f"nonterminal {nt} has no productions")
+        tot = sum(max(r.score, 0.0) for r in rules)
+        x = rng.random() * (tot if tot > 0 else len(rules))
+        acc = 0.0
+        pick = rules[-1]
+        for r in rules:
+            acc += (max(r.score, 0.0) if tot > 0 else 1.0)
+            if x <= acc:
+                pick = r
+                break
+        sent: List[str] = []
+        for item in pick.rhs:
+            if item.startswith(NONTERM_PREFIX):
+                sub = gen(item, depth + 1)
+                if sub is None:
+                    return None
+                sent.extend(sub)
+            else:
+                sent.append(item)
+        return sent
+
+    attempts = 0
+    while len(out) < n and attempts < 50 * n:
+        attempts += 1
+        s = gen(cfg.start, 0)
+        if s:
+            out.append(s)
+    return out
+
+
+def cfg_to_ngram(cfg: "Cfg", n: int = 3, samples: int = 10000,
+                 seed: int = 0, discount: str = "witten_bell"):
+    """cfg2ngram: sample a corpus from the PCFG and estimate an n-gram LM
+    with the repo's cmuclmtk-parity estimator (logios cfg2ngram pipeline:
+    grammar -> sampled corpus -> counts -> backoff LM)."""
+    from ..lm.estimate import count_ngrams, estimate_lm
+    sents = sample_sentences(cfg, samples, seed=seed)
+    vocab = sorted({w for s in sents for w in s})
+    counts, words = count_ngrams(sents, vocab, n=n)
+    return estimate_lm(counts, words, discount=discount)

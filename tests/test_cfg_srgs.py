@@ -118,3 +118,40 @@ def test_srgs_decode_end_to_end(reference_root):
     assert h.text == "go forward ten meters"
     lat = d.search.get_lattice()
     assert lat.bestpath().text == "go forward ten meters"
+
+
+def test_cfg_sample_and_ngram(tmp_path):
+    """cfg2ngram capability (logios Tools/cfg2ngram): PCFG sampling ->
+    n-gram estimation.  Rule probabilities must shape both the sampled
+    corpus and the resulting LM scores."""
+    from cmusphinx_tpu.models.cfg import Cfg, cfg_to_ngram, sample_sentences
+    g = Cfg()
+    g.add_rule("$START", 1.0, ["$CMD"])
+    g.add_rule("$CMD", 3.0, ["go", "$DIR"])
+    g.add_rule("$CMD", 1.0, ["stop"])
+    g.add_rule("$DIR", 2.0, ["forward"])
+    g.add_rule("$DIR", 1.0, ["back"])
+    sents = sample_sentences(g, 2000, seed=1)
+    assert len(sents) == 2000
+    texts = [" ".join(s) for s in sents]
+    n_go = sum(t.startswith("go") for t in texts)
+    n_fwd = sum(t == "go forward" for t in texts)
+    n_back = sum(t == "go back" for t in texts)
+    assert set(texts) == {"go forward", "go back", "stop"}
+    # 3:1 go/stop and 2:1 forward/back priors within sampling noise.
+    assert 0.65 < n_go / 2000 < 0.85
+    assert 0.55 < n_fwd / max(n_go, 1) < 0.78
+    lm = cfg_to_ngram(g, n=3, samples=2000, seed=1)
+    go, stop = lm.word_id("go"), lm.word_id("stop")
+    fwd, back = lm.word_id("forward"), lm.word_id("back")
+    assert lm.ug_score(go) > lm.ug_score(stop)
+    assert lm.bg_score(go, fwd) > lm.bg_score(go, back)
+
+
+def test_cfg_sample_bounded_recursion():
+    from cmusphinx_tpu.models.cfg import Cfg, sample_sentences
+    g = Cfg()
+    g.add_rule("$START", 1.0, ["a", "$START"])   # recursive
+    g.add_rule("$START", 1.0, ["a"])
+    sents = sample_sentences(g, 200, seed=2, max_depth=8)
+    assert sents and all(1 <= len(s) <= 9 for s in sents)
