@@ -556,17 +556,10 @@ class NgramSearch:
             wl2 = self._lmwid[wsel2]
             fil2 = self._is_filler[wsel2]
             # Exact trigram for the shortlist, replacing the smeared ug.
-            # Sparse LMs (floor-heavy / tiny task LMs) take the probe path:
-            # a [E2, NB+NT] comparison sweep instead of [E2, Vlm] rows.
-            if self.dlm.probe:
-                own = self.dlm.score_tg_probe(ph1, ph2,
-                                              jnp.maximum(wl2, 0))
-            elif use_rows:
-                rows = self.dlm.score_rows(ph1, ph2)         # [E2, Vlm]
-                own = jnp.take_along_axis(
-                    rows, jnp.maximum(wl2, 0)[:, None], axis=1)[:, 0]
-            else:
-                own = self.dlm.score_tg(ph1, ph2, jnp.maximum(wl2, 0))
+            # score_tg routes point queries by LM size: dense3 gather /
+            # probe sweep (sparse LMs) / hashed tables (production-size
+            # LMs — the LargeTrigramModel home) / CSR binary search.
+            own = self.dlm.score_tg(ph1, ph2, jnp.maximum(wl2, 0))
             resc = jnp.where(fil2, v2,
                              v2 - self._la_word_lw[wsel2] + lw * own)
             resc = jnp.where(okp, resc, neg)
@@ -704,17 +697,7 @@ class NgramSearch:
             pe2, ph2, ph1 = peh[:, 0], peh[:, 1], peh[:, 2]
             wl2 = self._lmwid[wsel2]
             fil2 = self._is_filler[wsel2]
-            if self.dlm.probe:
-                own = self.dlm.score_tg_probe(ph1, ph2,
-                                              jnp.maximum(wl2, 0))
-            elif use_rows:
-                rows = self.dlm.score_rows(
-                    ph1.reshape(-1), ph2.reshape(-1))             # [B*E2, V]
-                own = jnp.take_along_axis(
-                    rows, jnp.maximum(wl2, 0).reshape(-1)[:, None],
-                    axis=1).reshape(B, E2)
-            else:
-                own = self.dlm.score_tg(ph1, ph2, jnp.maximum(wl2, 0))
+            own = self.dlm.score_tg(ph1, ph2, jnp.maximum(wl2, 0))
             resc = jnp.where(fil2, v2,
                              v2 - self._la_word_lw[wsel2] + lw * own)
             resc = jnp.where(okp, resc, neg)

@@ -97,6 +97,121 @@ class DeviceNgram:
                 self._p_tg_w2 = jnp.asarray(
                     np.asarray(m.bg_wid)[tg_b].astype(np.int32))
             self.probe = True
+        # Large-LM hash tables: millions of n-grams make the probe sweep,
+        # the row scatters AND per-lane binary searches all infeasible —
+        # this is the HBM-resident home for production trigram LMs (the
+        # sphinx4 LargeTrigramModel capability, linguist/language/ngram/
+        # large).  Open-addressed tables with the probe depth fixed at
+        # build time; each probe is ONE [lanes, 4]-row gather (keys and
+        # payloads packed as exact-in-f32 lanes).
+        self.hashed = False
+        if not self.probe and self.tg_dense is None and self.NB:
+            self._build_hash(m)
+
+    # -- hashed point-lookup backend ------------------------------------
+    _HASH_LOAD = 0.35
+
+    @staticmethod
+    def _hash32(a: np.ndarray, b: np.ndarray, size: int) -> np.ndarray:
+        """uint32-wraparound hash, identical on host (uint64 masked) and
+        device (native uint32)."""
+        h = ((a.astype(np.uint64) * np.uint64(2654435761)
+              + b.astype(np.uint64) * np.uint64(97))
+             & np.uint64(0x7FFFFFFF))
+        return (h % np.uint64(size)).astype(np.int64)
+
+    @classmethod
+    def _pack_table(cls, k1: np.ndarray, k2: np.ndarray,
+                    vals: np.ndarray):
+        """Bulk linear-probe build of a [size + maxdisp, 2 + n_vals] f32
+        table (keys must be < 2^24 so the f32 lanes are exact).  Entries
+        sorted by home slot get placement j_i = max(home_i, j_{i-1} + 1)
+        — the classic parking-function bulk insert, vectorized — and the
+        table is PADDED past `size` instead of wrapping, so lookups probe
+        `slot + p` without a mod.  Returns (table, probe depth)."""
+        n = len(k1)
+        size = max(int(n / cls._HASH_LOAD), 8)
+        home = cls._hash32(k1, k2, size)
+        order = np.argsort(home, kind="stable")
+        hs = home[order]
+        ar = np.arange(n, dtype=np.int64)
+        j = np.maximum.accumulate(hs - ar) + ar       # placements
+        maxp = int((j - hs).max()) if n else 0
+        tab = np.full((size + maxp + 1, 2 + vals.shape[1]), -1.0,
+                      np.float32)
+        tab[j, 0] = k1[order]
+        tab[j, 1] = k2[order]
+        tab[j, 2:] = vals[order]
+        return tab, maxp + 1, size
+
+    def _build_hash(self, m) -> None:
+        if self.V >= (1 << 24) or self.NB >= (1 << 24):
+            return  # keys would not be exact in f32
+        bg_w1 = np.repeat(np.arange(max(self.V, 1)),
+                          np.diff(m.bg_ptr)).astype(np.int64)
+        bg_bo = (np.asarray(m.bg_bo) if len(m.bg_bo)
+                 else np.zeros(self.NB, np.float32))
+        vals = np.stack([np.asarray(m.bg_prob), bg_bo,
+                         np.arange(self.NB, dtype=np.float32)], axis=1)
+        tab, p, sz = self._pack_table(bg_w1,
+                                      np.asarray(m.bg_wid, np.int64), vals)
+        self._hbg = jnp.asarray(tab)
+        self._hbg_probes = p
+        self._hbg_size = sz
+        if self.NT:
+            tg_b = np.repeat(np.arange(self.NB),
+                             np.diff(m.tg_ptr)).astype(np.int64)
+            tabt, pt, szt = self._pack_table(
+                tg_b, np.asarray(m.tg_wid, np.int64),
+                np.asarray(m.tg_prob)[:, None])
+            self._htg = jnp.asarray(tabt)
+            self._htg_probes = pt
+            self._htg_size = szt
+        else:
+            self._htg = None
+        self.hashed = True
+
+    def _hash_find(self, tab, probes: int, size: int, k1, k2):
+        """Vectorized open-address lookup: -> (hit mask, [lanes, n_vals]).
+        Each probe is ONE row gather from the padded table (no mod)."""
+        k1f = k1.astype(jnp.float32)
+        k2f = k2.astype(jnp.float32)
+        h = ((k1.astype(jnp.uint32) * jnp.uint32(2654435761)
+              + k2.astype(jnp.uint32) * jnp.uint32(97))
+             & jnp.uint32(0x7FFFFFFF))
+        slot = jnp.mod(h, jnp.uint32(size)).astype(jnp.int32)
+        hit = jnp.zeros(k1.shape, bool)
+        out = jnp.zeros(k1.shape + (tab.shape[1] - 2,), jnp.float32)
+        for p in range(probes):
+            rows = tab[slot + p]
+            m = (~hit) & (rows[..., 0] == k1f) & (rows[..., 1] == k2f)
+            out = jnp.where(m[..., None], rows[..., 2:], out)
+            hit = hit | m
+        return hit, out
+
+    def score_tg_hashed(self, w1, w2, w3):
+        """Exact trigram backoff via the hashed tables (point queries;
+        lanes <= a few hundred per call is the intended regime)."""
+        w1, w2, w3 = jnp.broadcast_arrays(w1, w2, w3)
+        w2c = jnp.maximum(w2, 0)
+        ug3 = self.ug_prob[jnp.maximum(w3, 0)]
+        h23, v23 = self._hash_find(self._hbg, self._hbg_probes,
+                                   self._hbg_size, w2c, w3)
+        bg23 = jnp.where(w2 < 0, ug3,
+                         jnp.where(h23, v23[..., 0],
+                                   self.ug_bo[w2c] + ug3))
+        if self.n < 3 or self._htg is None:
+            return bg23
+        w1c = jnp.maximum(w1, 0)
+        h12, v12 = self._hash_find(self._hbg, self._hbg_probes,
+                                   self._hbg_size, w1c, w2c)
+        rowid = v12[..., 2].astype(jnp.int32)
+        ht, vt = self._hash_find(self._htg, self._htg_probes,
+                                 self._htg_size,
+                                 jnp.where(h12, rowid, -1), w3)
+        s = jnp.where(ht & h12, vt[..., 0],
+                      jnp.where(h12, v12[..., 1], 0.0) + bg23)
+        return jnp.where(w1 < 0, bg23, s)
 
     def _build_dense3(self, m: NgramModel) -> np.ndarray:
         """Host-side dense [V+1, V+1, V] fully-backed-off trigram scores.
@@ -236,6 +351,8 @@ class DeviceNgram:
         if (self.probe
                 and int(np.prod(shp)) * (self.NB + self.NT) <= (64 << 20)):
             return self.score_tg_probe(w1, w2, w3)
+        if self.hashed and int(np.prod(shp)) <= (1 << 16):
+            return self.score_tg_hashed(w1, w2, w3)
         bg23 = self.score_bg(w2, w3)
         if self.n < 3 or self.NT == 0:
             return bg23

@@ -62,6 +62,62 @@ def build_floor_lm(vocab, kind="tri"):
     return estimate_lm(counts, words, discount="witten_bell")
 
 
+def inflate_lm(m, n_bg: int, n_tg: int, seed: int = 0) -> None:
+    """Grow the LM to production size (sphinx4 LargeTrigramModel-class:
+    millions of n-grams) by merging in random BALLAST n-grams at a log
+    probability (-25 nats) far below every real backoff path — the
+    decoder's scores and hypotheses stay those of the real LM while every
+    lookup must navigate the full-size tables.  This is a capacity/speed
+    proof; the checkout ships no real broadcast-news trigram."""
+    rng = np.random.RandomState(seed)
+    V = m.n_words
+    BAL = np.float32(-25.0)
+    bg_w1 = np.repeat(np.arange(V), np.diff(m.bg_ptr)).astype(np.int64)
+    pairs = np.concatenate(
+        [np.stack([bg_w1, np.asarray(m.bg_wid, np.int64)], 1),
+         rng.randint(0, V, (n_bg, 2)).astype(np.int64)])
+    probs = np.concatenate([np.asarray(m.bg_prob),
+                            np.full(n_bg, BAL, np.float32)])
+    bos = np.concatenate([np.asarray(m.bg_bo) if len(m.bg_bo)
+                          else np.zeros(len(bg_w1), np.float32),
+                          np.zeros(n_bg, np.float32)])
+    key = pairs[:, 0] * V + pairs[:, 1]
+    _, idx = np.unique(key, return_index=True)   # real entries come first
+    idx.sort()
+    pairs, probs, bos = pairs[idx], probs[idx], bos[idx]
+    order = np.lexsort((pairs[:, 1], pairs[:, 0]))
+    pairs, probs, bos = pairs[order], probs[order], bos[order]
+    # map old trigram rows -> new row ids BEFORE overwriting the tables
+    old_rows = np.searchsorted(
+        pairs[:, 0] * V + pairs[:, 1],
+        bg_w1 * V + np.asarray(m.bg_wid, np.int64))
+    m.bg_wid = pairs[:, 1].astype(np.int32)
+    m.bg_ptr = np.searchsorted(pairs[:, 0],
+                               np.arange(V + 1)).astype(np.int64)
+    m.bg_prob, m.bg_bo = probs, bos
+    nb = len(m.bg_wid)
+    # trigrams: remap the real ones, add ballast under random rows
+    tg_rows_old = np.repeat(np.arange(len(old_rows)),
+                            np.diff(m.tg_ptr)).astype(np.int64)
+    tkeys = np.concatenate(
+        [np.stack([old_rows[tg_rows_old],
+                   np.asarray(m.tg_wid, np.int64)], 1),
+         np.stack([rng.randint(0, nb, n_tg).astype(np.int64),
+                   rng.randint(0, V, n_tg).astype(np.int64)], 1)])
+    tprobs = np.concatenate([np.asarray(m.tg_prob),
+                             np.full(n_tg, BAL, np.float32)])
+    tk = tkeys[:, 0] * V + tkeys[:, 1]
+    _, idx = np.unique(tk, return_index=True)
+    idx.sort()
+    tkeys, tprobs = tkeys[idx], tprobs[idx]
+    order = np.lexsort((tkeys[:, 1], tkeys[:, 0]))
+    tkeys, tprobs = tkeys[order], tprobs[order]
+    m.tg_wid = tkeys[:, 1].astype(np.int32)
+    m.tg_ptr = np.searchsorted(tkeys[:, 0],
+                               np.arange(nb + 1)).astype(np.int64)
+    m.tg_prob = tprobs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -70,7 +126,9 @@ def main():
                     help="limit vocabulary (0 = full cmu07a)")
     ap.add_argument("--maxwpf", type=int, default=32)
     ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--lm", default="tri", choices=["tri", "n800"])
+    ap.add_argument("--lm", default="tri", choices=["tri", "n800", "big"])
+    ap.add_argument("--ballast-bg", type=int, default=2_000_000)
+    ap.add_argument("--ballast-tg", type=int, default=3_000_000)
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -98,7 +156,11 @@ def main():
         write_subset_dict(vocab, "/tmp/wsj60k.dic")
         dic_path = "/tmp/wsj60k.dic"
     d = Dictionary.read(dic_path, mdef, filler_path=H + "/noisedict")
-    lm = build_floor_lm(vocab, args.lm)
+    if args.lm == "big":
+        lm = build_floor_lm(vocab, "tri")
+        inflate_lm(lm, args.ballast_bg, args.ballast_tg)
+    else:
+        lm = build_floor_lm(vocab, args.lm)
     print(f"vocab {len(vocab)} base words; dict {d.n_word} entries; "
           f"LM {lm.n_words} words / {len(lm.bg_wid)} bigrams / "
           f"{len(lm.tg_wid)} trigrams  ({time.time()-t0:.0f}s)", flush=True)

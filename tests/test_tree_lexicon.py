@@ -118,3 +118,62 @@ def test_probe_matches_csr(tidigits_parts):
     want = np.asarray([lm.tg_score(int(a), int(b), int(c))
                        for a, b, c in zip(w1, w2, w3)])
     np.testing.assert_allclose(got, want, rtol=0, atol=1e-5)
+
+
+def _synthetic_big_lm(V=30000, NB=60000, NT=90000, seed=0):
+    """A consistent random trigram LM too big for probe/dense paths —
+    the hashed-backend (LargeTrigramModel-class) regime."""
+    from cmusphinx_tpu.models.ngram import NgramModel
+    rng = np.random.RandomState(seed)
+    m = NgramModel()
+    m.n = 3
+    m.words = [f"w{i}" for i in range(V)]
+    m.wid = {w: i for i, w in enumerate(m.words)}
+    m.ug_prob = (-1.0 - 8.0 * rng.rand(V)).astype(np.float32)
+    m.ug_bo = (-0.5 * rng.rand(V)).astype(np.float32)
+    keys = np.unique(rng.randint(0, V, (NB + NB // 4, 2)).astype(np.int64),
+                     axis=0)[:NB]
+    keys = keys[np.lexsort((keys[:, 1], keys[:, 0]))]
+    m.bg_wid = keys[:, 1].astype(np.int32)
+    m.bg_ptr = np.searchsorted(keys[:, 0], np.arange(V + 1)).astype(np.int64)
+    nb = len(m.bg_wid)
+    m.bg_prob = (-0.5 - 6.0 * rng.rand(nb)).astype(np.float32)
+    m.bg_bo = (-0.4 * rng.rand(nb)).astype(np.float32)
+    trows = rng.randint(0, nb, NT).astype(np.int64)
+    tw = rng.randint(0, V, NT).astype(np.int64)
+    tk = np.unique(np.stack([trows, tw], 1), axis=0)
+    tk = tk[np.lexsort((tk[:, 1], tk[:, 0]))]
+    m.tg_wid = tk[:, 1].astype(np.int32)
+    m.tg_ptr = np.searchsorted(tk[:, 0], np.arange(nb + 1)).astype(np.int64)
+    m.tg_prob = (-0.5 - 6.0 * rng.rand(len(m.tg_wid))).astype(np.float32)
+    return m
+
+
+def test_hashed_lm_matches_host():
+    """The hashed point-lookup backend (sphinx4 LargeTrigramModel home)
+    must reproduce the host backoff chain exactly, including planted hits
+    at every backoff level."""
+    m = _synthetic_big_lm()
+    dlm = DeviceNgram(m, dense3_limit=0)
+    assert dlm.hashed and not dlm.probe
+    rng = np.random.RandomState(3)
+    L = 400
+    w1 = rng.randint(-1, m.n_words, L).astype(np.int32)
+    w2 = rng.randint(-1, m.n_words, L).astype(np.int32)
+    w3 = rng.randint(0, m.n_words, L).astype(np.int32)
+    # Plant guaranteed bigram and trigram hits among the random misses.
+    bg_w1 = np.repeat(np.arange(m.n_words), np.diff(m.bg_ptr))
+    for i in range(0, 60, 2):
+        b = rng.randint(len(m.bg_wid))
+        w2[i], w3[i] = bg_w1[b], m.bg_wid[b]
+        if i >= 30:  # trigram hits: (h1, h2) = the parent bigram
+            t = rng.randint(len(m.tg_wid))
+            row = np.searchsorted(m.tg_ptr, t, "right") - 1
+            w1[i], w2[i], w3[i] = bg_w1[row], m.bg_wid[row], m.tg_wid[t]
+    got = np.asarray(dlm.score_tg_hashed(w1, w2, w3))
+    want = np.asarray([m.tg_score(int(a), int(b), int(c))
+                       for a, b, c in zip(w1, w2, w3)])
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-5)
+    # score_tg routes small point queries through the hashed backend
+    got2 = np.asarray(dlm.score_tg(w1, w2, w3))
+    np.testing.assert_allclose(got2, want, rtol=1e-6, atol=1e-5)
