@@ -902,7 +902,8 @@ class NgramSearch:
             sc_b, v_b, t0 = blk
             sen_b = self._expand_block_batched(sc_b)       # [KB, S*C*B]
             ts = t0 + jnp.arange(KB, dtype=jnp.int32)
-            carry, ys = jax.lax.scan(core, carry, (sen_b, ts, v_b))
+            carry, ys = jax.lax.scan(core, carry, (sen_b, ts, v_b),
+                                     unroll=self._scan_unroll())
             return carry, ys
 
         _, ys = jax.lax.scan(outer, hmmc, (sc_r, val_r, t0s))
@@ -1143,6 +1144,14 @@ class NgramSearch:
     # bandwidth-) bound at small channel counts, so this is nearly free.
     SCAN_UNROLL = 8
 
+    def _scan_unroll(self) -> int:
+        """Unroll factor for the static-path inner frame scan: small
+        graphs are loop-overhead-bound (unroll pays); large graphs are
+        bandwidth-bound and unrolling only bloats compile time."""
+        return (self.SCAN_UNROLL
+                if self.graph.n_chan * self.graph.n_emit_state <= (32 << 10)
+                else 1)
+
     def device_decode(self, feats, valid):
         """Pure device program: padded feats [Tpad, D] + valid mask [Tpad] ->
         backpointer tape arrays.  jit/vmap/shard_map-compatible."""
@@ -1185,7 +1194,8 @@ class NgramSearch:
                 sen_b = self._expand_block(sc_b)
                 ts = t0 + jnp.arange(KB, dtype=jnp.int32)
                 carry, ys = jax.lax.scan(self._core_static, carry,
-                                         (sen_b, la_b, ts, v_b))
+                                         (sen_b, la_b, ts, v_b),
+                                         unroll=self._scan_unroll())
                 return carry, ys
 
             _, ys = jax.lax.scan(outer, hmmc, (sc_r, la_r, val_r, t0s))
