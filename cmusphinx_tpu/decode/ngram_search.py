@@ -91,6 +91,11 @@ NGRAM_ARGS = [
         "lookahead smeared in the tree, exact trigram applied at the "
         "exit readout).  'auto' picks tree at >= 10k words with "
         "composite contexts; tree requires composite lc+rc"),
+    Arg("nlextree", int, 1,
+        "Number of parallel lexicon-tree copies in lexmode='tree' "
+        "(sphinx3 -Nlextree): copy n holds the n-th best history-"
+        "distinct cross-word entry per frame, recovering accuracy the "
+        "single-best-entry approximation loses"),
     Arg("bestpath", bool, False,
         "Run lattice trigram rescoring after Viterbi (ps -bestpath)"),
     Arg("bestpathlw", float, 9.5, "Language weight for bestpath rescoring"),
@@ -188,6 +193,7 @@ class NgramSearch:
                                           lc_mode=lc_mode, lex_mode=lex_mode,
                                           ug_lookahead=ugla)
         self._tree = g.lex_mode == "tree"
+        self.nlextree = max(1, int(cfg["nlextree"])) if self._tree else 1
         # Static-senone fast path: with composite left contexts every
         # channel's senone row is fixed, so the [T, C, S] expansion is
         # frame-parallel; within-word propagation additionally reduces to a
@@ -487,6 +493,20 @@ class NgramSearch:
 
         return core
 
+    def _init_hmmc_tree(self):
+        """[N, S, C] carry for the N-copy tree core: copy 0 holds the
+        initial <s> entries, copies 1.. start empty."""
+        N = self.nlextree
+        S, C = self.graph.n_emit_state, self.graph.n_chan
+        a, h, w2, w1 = self._init_hmmc_static()
+
+        def exp(x, fill):
+            rest = jnp.full((N - 1, S, C), fill, x.dtype)
+            return jnp.concatenate([x.reshape(S, C)[None], rest], 0)
+
+        return (exp(a, jnp.float32(NEG_INF)), exp(h, -1),
+                exp(w2, self.start_lmwid), exp(w1, -1))
+
     def _make_core_tree(self):
         """Per-frame Viterbi core for the PREFIX-SHARED lexicon tree
         (lexmode='tree', composite lc+rc, state-major [S, C] layout —
@@ -510,6 +530,7 @@ class NgramSearch:
         g, v = self.graph, self.vocab
         E, W, C = self.E, v.n_word, g.n_chan
         S = g.n_emit_state
+        N = self.nlextree
         if g.n_rcvar != 1:
             raise NotImplementedError("tree core requires composite rc")
         neg = jnp.float32(NEG_INF)
@@ -517,41 +538,55 @@ class NgramSearch:
         log_wip = jnp.float32(self.log_wip)
         log_pip = jnp.float32(self.log_pip)
         E2 = min(4 * E, W)
-        use_rows = self.dlm.tg_dense is None
         psel_bonus = jnp.where(self._is_filler, self._fil_pen, log_wip)
         has_prev = jnp.asarray(g.prev_chan >= 0)
+        xb = g.exit_base
 
         def core(hmmc, inputs):
-            alpha0, hist0, hw20, hw10 = hmmc                 # [S*C] flat
+            # N parallel tree copies ride the leading (sublane) axis
+            # (sphinx3 -Nlextree, srch_time_switch_tree.c): copy n holds
+            # the n-th-best HISTORY-DISTINCT cross-word entry, so the
+            # single-best-entry approximation keeps N live histories.
+            alpha0, hist0, hw20, hw10 = hmmc                 # [N, S, C]
             sen_t, la_t, t, valid = inputs
-            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_sm(
-                alpha0, (hist0, hw20, hw10), sen_t, self._tp_bands)
+            sen = jnp.broadcast_to(sen_t.reshape(S, C)[None], (N, S, C))
+            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_bm(
+                alpha0, (hist0, hw20, hw10), sen, self._tp_bands)
 
             if self.prune:
                 bestscr = jnp.max(alpha)
-                amax = jnp.max(alpha.reshape(S, C), axis=0)
+                amax = jnp.max(alpha, axis=1)                # [N, C]
                 if self.pl_window:
-                    amax = amax + la_t[self._ci_of]
+                    amax = amax + la_t[self._ci_of][None]
                 keep = amax > bestscr + jnp.float32(self.log_beam)
-                alpha = jnp.where(jnp.tile(keep, S), alpha, neg)
+                alpha = jnp.where(keep[:, None, :], alpha, neg)
                 ex = jnp.where(ex > bestscr + jnp.float32(self.log_wbeam),
                                ex, neg)
 
-            # ---- exit shortlist on the smeared (unigram-exact) score ----
+            # ---- exit readout: best copy per word ----
             # Exit channels are a contiguous word-ordered block: readout
             # is a slice, not W row-gathers.
-            xb = g.exit_base
-            exh3 = jnp.stack([exh, exh2, exh1], 0)           # [3, C]
+            exh3 = jnp.stack([exh, exh2, exh1], 1)           # [N, 3, C]
             if xb >= 0:
-                wex = ex[xb : xb + W]                        # [W]
-                wexh3 = exh3[:, xb : xb + W]
+                wexn = ex[:, xb : xb + W]                    # [N, W]
+                whn = exh3[:, :, xb : xb + W]                # [N, 3, W]
             else:
-                wex = ex[self._exit_col]
-                wexh3 = exh3[:, self._exit_col]
+                wexn = ex[:, self._exit_col]
+                whn = exh3[:, :, self._exit_col]
+            if N == 1:
+                wex, wh = wexn[0], whn[0]
+            else:
+                nsel = jnp.argmax(wexn, axis=0)              # [W]
+                wex = jnp.max(wexn, axis=0)
+                ohN = (nsel[None] ==
+                       jnp.arange(N, dtype=jnp.int32)[:, None])
+                wh = jnp.sum(jnp.where(ohN[:, None, :], whn, 0), axis=0)
+
+            # ---- shortlist on the smeared (unigram-exact) score ----
             psel = wex + psel_bonus
             v2, wsel2 = jax.lax.top_k(psel, E2)              # [E2]
             okp = (v2 > neg * 0.5) & valid
-            peh = wexh3[:, wsel2]
+            peh = wh[:, wsel2]
             pe2, ph2, ph1 = peh[0], peh[1], peh[2]
             wl2 = self._lmwid[wsel2]
             fil2 = self._is_filler[wsel2]
@@ -576,25 +611,39 @@ class NgramSearch:
             yrow = (jnp.where(ok, wsel, -1), jnp.where(ok, vals, neg),
                     pe, h2, h1, jnp.where(ok[:, None], vals[:, None], neg))
 
-            # ---- single best re-entry for every root ----
-            has_ent = ok[0]
-            ent = jnp.where(has_ent, vals[0], neg)
-            ent_bp = jnp.where(has_ent, t * E, -1)
-            ent_h2 = h2[0]
-            ent_h1 = h1[0]
+            # ---- re-entries: copy n takes the n-th history-distinct slot
+            # (vals are sorted, so scan the E slots once per copy) ----
+            ents, bps, eh2s, eh1s = [], [], [], []
+            chosen_mask = jnp.zeros((E,), bool)
+            for nth in range(N):
+                avail = ok & ~chosen_mask
+                # first available slot (vals sorted desc)
+                idx = jnp.argmax(avail)
+                has = jnp.any(avail)
+                ents.append(jnp.where(has, vals[idx], neg))
+                bps.append(jnp.where(has, t * E + idx, -1))
+                eh2s.append(h2[idx])
+                eh1s.append(h1[idx])
+                # mark every slot sharing this history as used
+                chosen_mask = chosen_mask | (h2 == h2[idx])
+            ent = jnp.stack(ents)                            # [N]
+            ent_bp = jnp.stack(bps)
+            ent_h2 = jnp.stack(eh2s)
+            ent_h1 = jnp.stack(eh1s)
 
             # ---- within-word propagation with telescoping smear ----
-            prop = jnp.where(has_prev,
-                             ex[self._prev_chan_c] + log_pip
-                             + self._la_delta_c, neg)
-            bsh = jnp.where(has_prev[None, :],
-                            exh3[:, self._prev_chan_c], -1)
-            entry_c = jnp.where(self._is_entry,
-                                ent + self._la_entry_c, prop)
-            entry_b = jnp.where(self._is_entry, ent_bp, bsh[0])
-            entry_h2 = jnp.where(self._is_entry, ent_h2, bsh[1])
-            entry_h1 = jnp.where(self._is_entry, ent_h1, bsh[2])
-            alpha, (hist, hw2, hw1) = hmm_enter_sm(
+            prop = jnp.where(has_prev[None],
+                             ex[:, self._prev_chan_c] + log_pip
+                             + self._la_delta_c[None], neg)
+            bsh = jnp.where(has_prev[None, None],
+                            exh3[:, :, self._prev_chan_c], -1)
+            ie = self._is_entry[None]
+            entry_c = jnp.where(ie, ent[:, None]
+                                + self._la_entry_c[None], prop)
+            entry_b = jnp.where(ie, ent_bp[:, None], bsh[:, 0])
+            entry_h2 = jnp.where(ie, ent_h2[:, None], bsh[:, 1])
+            entry_h1 = jnp.where(ie, ent_h1[:, None], bsh[:, 2])
+            alpha, (hist, hw2, hw1) = hmm_enter_bm(
                 alpha, (hist, hw2, hw1), entry_c,
                 (entry_b, entry_h2, entry_h1))
 
@@ -1183,7 +1232,8 @@ class NgramSearch:
                       if self.FRAME_BUCKET % k == 0
                       and k * per_frame <= (96 << 20))
             NB = Tpad // KB
-            hmmc = self._init_hmmc_static()
+            hmmc = (self._init_hmmc_tree() if self._tree
+                    else self._init_hmmc_static())
             la_r = la.reshape(NB, KB, -1)
             sc_r = scores.reshape(NB, KB, -1)
             val_r = valid.reshape(NB, KB)
@@ -1337,7 +1387,11 @@ class NgramSearch:
         an occasional reallocation+recompile instead of an error
         (acmod_set_grow semantics, pocketsphinx acmod.c)."""
         g, E = self.graph, self.E
-        hmmc = self._init_hmmc_static() if self._fast else self._init_hmmc()
+        if self._fast:
+            hmmc = (self._init_hmmc_tree() if self._tree
+                    else self._init_hmmc_static())
+        else:
+            hmmc = self._init_hmmc()
         B = max_frames * E
         tape = (jnp.full((B,), -1, jnp.int32), jnp.full((B,), NEG_INF),
                 jnp.full((B,), -1, jnp.int32), jnp.full((B,), -1, jnp.int32),
@@ -1545,7 +1599,7 @@ class NgramSearch:
         Ts = [int(f.shape[0]) for f in feats_list]
         if not hasattr(self, "_batch_fn"):
             if (self._fast and not self.pl_window
-                    and self.graph.n_rcvar == 1):
+                    and self.graph.n_rcvar == 1 and self.nlextree == 1):
                 # Explicit-batch path: vmap over the frame loop makes XLA
                 # insert per-frame layout transposes (see the packing note
                 # at device_decode_batched); only the cheap backtrace is
@@ -1606,7 +1660,7 @@ class NgramSearch:
             self._batch_cep_fp = fp
         if not hasattr(self, "_batch_cep_fn"):
             if (self._fast and not self.pl_window
-                    and self.graph.n_rcvar == 1):
+                    and self.graph.n_rcvar == 1 and self.nlextree == 1):
                 def _full_b(c, v, T):
                     f = jax.vmap(
                         lambda ci, Ti: fp._padded_kernel(ci, Ti, True))(c, T)

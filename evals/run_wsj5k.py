@@ -107,6 +107,7 @@ def main():
     ap.add_argument("--vocab", type=int, default=5000)
     ap.add_argument("--rcmode", default="composite")
     ap.add_argument("--lexmode", default="flat", choices=["flat", "tree"])
+    ap.add_argument("--nlextree", type=int, default=1)
     ap.add_argument("--maxwpf", type=int, default=32)
     ap.add_argument("--repeat", type=int, default=3,
                     help="timed steady-state decode repetitions")
@@ -157,7 +158,7 @@ def main():
                             wrap_uint8=meta["n_bits"] == 4)
     t0 = time.time()
     search = NgramSearch(lm, d, mdef, tmat, scorer, rcmode=args.rcmode,
-                         lexmode=args.lexmode,
+                         lexmode=args.lexmode, nlextree=args.nlextree,
                          lw=args.lw, wip=0.5, beam=1e-60, wbeam=args.wbeam,
                          maxwpf=args.maxwpf, bestpathlw=args.bestpathlw)
     gr = search.graph

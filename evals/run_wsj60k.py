@@ -127,6 +127,9 @@ def main():
     ap.add_argument("--maxwpf", type=int, default=32)
     ap.add_argument("--repeat", type=int, default=2)
     ap.add_argument("--lm", default="tri", choices=["tri", "n800", "big"])
+    ap.add_argument("--nlextree", type=int, default=1)
+    ap.add_argument("--bestpath", action="store_true")
+    ap.add_argument("--bestpathlw", type=float, default=7.5)
     ap.add_argument("--ballast-bg", type=int, default=2_000_000)
     ap.add_argument("--ballast-tg", type=int, default=3_000_000)
     args = ap.parse_args()
@@ -173,8 +176,9 @@ def main():
     t0 = time.time()
     search = NgramSearch(lm, d, mdef, tmat, scorer, rcmode="composite",
                          lcmode="composite", lexmode=args.lexmode,
+                         nlextree=args.nlextree,
                          lw=7.5, wip=0.5, beam=1e-60, wbeam=1e-40,
-                         maxwpf=args.maxwpf)
+                         maxwpf=args.maxwpf, bestpathlw=args.bestpathlw)
     gr = search.graph
     S = gr.n_emit_state
     print(f"graph[{gr.lex_mode}]: {gr.n_chan} channels "
@@ -199,6 +203,10 @@ def main():
     for _ in range(args.repeat):
         hyps = search.decode_batch(feats)
     steady = (time.time() - t0) / args.repeat
+    if args.bestpath:
+        t0 = time.time()
+        hyps = search.decode_batch(feats, bestpath=True)
+        print(f"bestpath pass: {time.time()-t0-steady:.1f}s extra wall")
 
     errs = tot = 0
     for u, hyp in zip(utts, hyps):

@@ -177,3 +177,17 @@ def test_hashed_lm_matches_host():
     # score_tg routes small point queries through the hashed backend
     got2 = np.asarray(dlm.score_tg(w1, w2, w3))
     np.testing.assert_allclose(got2, want, rtol=1e-6, atol=1e-5)
+
+
+def test_nlextree_copies(tidigits_parts):
+    """N parallel tree copies (sphinx3 -Nlextree): same task accuracy,
+    valid multi-copy carry."""
+    p = tidigits_parts
+    for n in (2, 3):
+        s = _mk_search(p, rcmode="composite", lcmode="composite",
+                       lexmode="tree", nlextree=n)
+        assert s.nlextree == n
+        hyps = s.decode_batch(p["feats"][:5])
+        ok = sum(h.text == p["lsn"][u]
+                 for h, u in zip(hyps, p["ctl"][:5]))
+        assert ok >= 4
