@@ -91,3 +91,62 @@ class CigmmsScorer:
 
     def __call__(self, feats):
         return self.score(feats)
+
+
+class GsSelectorScorer:
+    """VQ Gaussian-selector shortlists (sphinx3 gs.c / gausubvq's sibling
+    `gs` backend): a coarse VQ codebook over the feature space maps each
+    frame to its nearest cluster; only Gaussians associated with that
+    cluster (assignment by their means) are evaluated exactly — the rest
+    take a floor.  Dense-masked formulation: the full density matrix is
+    computed (GEMMs don't get cheaper from masking on TPU) and
+    non-shortlisted Gaussians are floored, measuring the trick's accuracy
+    cost at its reference semantics.
+
+    scorer: a ContinuousScorer (single-stream); n_clusters: VQ size;
+    top_c: clusters kept per frame (gs_mgau_shortlist semantics).
+    """
+
+    def __init__(self, scorer, gauden, n_clusters: int = 64,
+                 top_c: int = 2, floor: float = -40.0, seed: int = 0,
+                 n_iter: int = 10):
+        self.inner = scorer
+        self.n_sen = scorer.n_sen
+        S, K = gauden.n_mgau, gauden.n_density
+        D = int(gauden.veclen[0])
+        M = gauden.means[:, 0, :, :D].reshape(S * K, D).astype(np.float64)
+        rng = np.random.RandomState(seed)
+        C = min(n_clusters, len(M))
+        cent = M[rng.choice(len(M), C, replace=False)].copy()
+        for _ in range(n_iter):
+            d = ((M[:, None] - cent[None]) ** 2).sum(-1)
+            a = d.argmin(1)
+            for c in range(C):
+                m = a == c
+                if m.any():
+                    cent[c] = M[m].mean(0)
+        d = ((M[:, None] - cent[None]) ** 2).sum(-1)
+        self._assign = jnp.asarray(d.argmin(1).reshape(S, K)
+                                   .astype(np.int32))
+        self._cent = jnp.asarray(cent.astype(np.float32))     # [C, D]
+        self.top_c = int(top_c)
+        self.floor = float(floor)
+        self._S, self._K, self._D = S, K, D
+
+    def score(self, feats):
+        x = feats[:, : self._D]
+        # nearest clusters per frame
+        d2 = ((x[:, None, :] - self._cent[None]) ** 2).sum(-1)  # [T, C]
+        thr = -jax.lax.top_k(-d2, self.top_c)[0][:, -1:]
+        keep_c = d2 <= thr                                      # [T, C]
+        keep = keep_c[:, self._assign]                          # [T, S, K]
+        ll = (self.inner.const[None, :]
+              + jnp.dot(feats, self.inner.lin)
+              - jnp.dot(feats * feats, self.inner.quad)
+              ).reshape(feats.shape[0], self._S, self._K)
+        best = jnp.max(ll, axis=(1, 2), keepdims=True)
+        ll = jnp.where(keep, ll, best + self.floor)
+        return jax.nn.logsumexp(ll, axis=-1)
+
+    def __call__(self, feats):
+        return self.score(feats)

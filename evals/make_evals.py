@@ -340,8 +340,6 @@ def sec_wsj60k(out):
                "`n800` held out = honest).  Reference row: HUB4 60k "
                "S3.3 18.8% WER @ 0.33x RT (BASELINE.md).")
     out.append("")
-    out.append("| lexicon | LM | channels | WER | steady xRT |")
-    out.append("|---|---|---|---|---|")
     vocab = wk.full_vocab(0)
     mdef = Mdef.read(H + "/mdef")
     g = read_gauden(H + "/means", H + "/variances")
@@ -358,21 +356,33 @@ def sec_wsj60k(out):
     feats = [np.asarray(fp.compute(read_mfc(f"{WSJ}/{u}.mfc")))
              for u in utts]
     audio = sum(f.shape[0] for f in feats) * 0.01
+    out.append("| lexicon | LM | channels | WER | +bestpath WER | "
+               "steady xRT |")
+    out.append("|---|---|---|---|---|---|")
     for lexmode, lmkind in (("tree", "tri"), ("tree", "n800"),
-                            ("flat", "tri")):
-        lm = wk.build_floor_lm(vocab, lmkind)
+                            ("tree", "big"), ("flat", "tri")):
+        if lmkind == "big":
+            lm = wk.build_floor_lm(vocab, "tri")
+            wk.inflate_lm(lm, 2_000_000, 3_000_000)
+        else:
+            lm = wk.build_floor_lm(vocab, lmkind)
         search = NgramSearch(lm, d, mdef, tmat, scorer,
                              rcmode="composite", lcmode="composite",
                              lexmode=lexmode, lw=7.5, wip=0.5,
-                             beam=1e-60, wbeam=1e-40, maxwpf=32)
+                             beam=1e-60, wbeam=1e-40, maxwpf=32,
+                             bestpathlw=7.5)
         hyps = search.decode_batch(feats)
         t0 = time.time()
         hyps = search.decode_batch(feats)
         steady = time.time() - t0
         e, n, pct = wer_of([(" ".join(refs[u]), h.text.lower())
                             for u, h in zip(utts, hyps)])
+        bp = search._rescore_batch(hyps)
+        e2, n2, pct2 = wer_of([(" ".join(refs[u]), h.text.lower())
+                               for u, h in zip(utts, bp)])
         out.append(f"| {lexmode} | {lmkind} | {search.graph.n_chan} | "
-                   f"{pct:.2f}% ({e}/{n}) | {audio/steady:.1f}x RT |")
+                   f"{pct:.2f}% ({e}/{n}) | {pct2:.2f}% ({e2}/{n2}) | "
+                   f"{audio/steady:.1f}x RT |")
         print(out[-1], flush=True)
         del search
     out.append("")
@@ -380,10 +390,19 @@ def sec_wsj60k(out):
                "~100 MB; scan carry 18/40 MB).")
     out.append("- The tree (prefix-shared channels, delayed exact-trigram "
                "at exit, unigram-lookahead smear) is the faster layout; "
-               "flat keeps per-word LM discrimination at ENTRY, which "
-               "wins accuracy when the LM is informative (tri).  Both "
-               "decode 123k words in real time-plus on one chip vs the "
-               "reference's 0.33x RT at 60k.")
+               "flat keeps per-word LM discrimination at ENTRY.  The "
+               "tree's Viterbi-pass loss concentrates in short function "
+               "words carrying only the unigram smear until exit — the "
+               "lattice bestpath pass (the reference's own two-pass "
+               "remedy) recovers most of it for ~2.5 s of host wall on "
+               "the batch.  Both layouts decode 123k words above real "
+               "time on one chip vs the reference's 0.33x RT at 60k.")
+    out.append("- `big` = the tri LM inflated to 2M bigrams + 3.2M "
+               "trigrams with ballast entries at -25 nats (the sphinx4 "
+               "LargeTrigramModel-class regime): scores and hypotheses "
+               "stay those of the real LM while every lookup runs through "
+               "the hashed HBM point-lookup backend — large-LM lookups "
+               "cost ~3% of decode time.")
     out.append("")
 
 
@@ -429,6 +448,26 @@ def main():
         sec_error_analysis(out, ctx, results)
     if "wsj60k" not in skip:
         sec_wsj60k(out)
+    # Preserve sections maintained by OTHER eval scripts (they state their
+    # regenerating script inline) and sections skipped this run: any
+    # existing '## ' section whose header was not regenerated above is
+    # carried over verbatim.
+    own_headers = {h for h in ("## TIDIGITS", "## goforward", "## WSJ 5k",
+                               "## WSJ 123k")
+                   if any(l.startswith(h) for l in out)}
+    if os.path.exists(args.out):
+        old = open(args.out).read().split("\n## ")
+        for sec in old[1:]:
+            header = "## " + sec.split("\n", 1)[0]
+            if not any(header.startswith(h) for h in own_headers) \
+                    and not sec.startswith("#"):
+                out.append("## " + sec.rstrip())
+                out.append("")
+                # strip a stale footer line if the section swallowed one
+                if out[-2].rstrip().endswith("s._"):
+                    out[-2] = "\n".join(
+                        l for l in out[-2].splitlines()
+                        if not l.startswith("_Total regeneration"))
     out.append(f"_Total regeneration wall time: {time.time()-t00:.0f} s._")
     out.append("")
     with open(args.out, "w") as fh:

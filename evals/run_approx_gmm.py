@@ -62,6 +62,12 @@ def main():
                                        mdef.n_ci_sen, 3.0)),
     ]
     try:
+        from cmusphinx_tpu.ops.approx import GsSelectorScorer
+        variants.append(("gs selector (64c, top2)",
+                         GsSelectorScorer(dense, g, 64, 2)))
+    except Exception as e:
+        print(f"(gs variant skipped: {e})")
+    try:
         from cmusphinx_tpu.ops.subvq import SubVQScorer, build_subvq
         svq = build_subvq(g, n_sv=3, vqsize=64, n_iter=10, n_restarts=1)
         variants.append(("subvq approx (3x64)", SubVQScorer(svq, lnw)))

@@ -66,3 +66,32 @@ def test_cigmms_bypass():
     sc2 = CigmmsScorer(_ToyScorer(s), cd2ci, n_ci_sen=2, ci_pbeam=50.0)
     np.testing.assert_allclose(np.asarray(sc2.score(jnp.zeros((1, 2))))[0],
                                s[0])
+
+
+def test_gs_selector_shortlist_semantics():
+    """The gs selector floors only non-shortlisted Gaussians; with all
+    clusters kept it matches the dense scorer exactly."""
+    import jax.numpy as jnp
+    from cmusphinx_tpu.models.gauden import GaussianParams
+    from cmusphinx_tpu.ops.approx import GsSelectorScorer
+    from cmusphinx_tpu.ops.gmm import ContinuousScorer
+    rng = np.random.RandomState(0)
+    S, K, D = 12, 4, 6
+    means = rng.randn(S, 1, K, D).astype(np.float32)
+    var = (0.5 + rng.rand(S, 1, K, D)).astype(np.float32)
+    prec = 1.0 / (2.0 * var)
+    lrd = -0.5 * (np.log(var).sum(-1) + D * np.log(2 * np.pi)).astype(
+        np.float32)
+    gp = GaussianParams(means=means, var=var, prec=prec, lrd=lrd,
+                        veclen=[D], n_mgau=S, n_feat=1, n_density=K)
+    lw = np.log(np.full((S, K), 1.0 / K, np.float32))
+    dense = ContinuousScorer(gp, lw, use_pallas=False)
+    x = jnp.asarray(rng.randn(20, D).astype(np.float32))
+    gs_all = GsSelectorScorer(dense, gp, n_clusters=8, top_c=8)
+    np.testing.assert_allclose(np.asarray(gs_all.score(x)),
+                               np.asarray(dense.score(x)),
+                               rtol=1e-5, atol=1e-4)
+    gs1 = GsSelectorScorer(dense, gp, n_clusters=8, top_c=1)
+    out = np.asarray(gs1.score(x))
+    ref = np.asarray(dense.score(x))
+    assert np.all(out <= ref + 1e-4)   # flooring only removes mass
