@@ -191,3 +191,19 @@ def test_nlextree_copies(tidigits_parts):
         ok = sum(h.text == p["lsn"][u]
                  for h, u in zip(hyps, p["ctl"][:5]))
         assert ok >= 4
+
+
+def test_tree_streaming_matches_batch(tidigits_parts):
+    """Chunked streaming decode through the tree core must equal the
+    batch decode (device-resident carry between chunks)."""
+    p = tidigits_parts
+    s = _mk_search(p, rcmode="composite", lcmode="composite",
+                   lexmode="tree")
+    for i in range(3):
+        feats = p["feats"][i]
+        want = s.decode(feats).text
+        st = s.stream_start(max_frames=400)
+        for j in range(0, feats.shape[0], 37):
+            s.stream_push(st, feats[j : j + 37])
+        got = s.stream_end(st).text
+        assert got == want, (i, got, want)
