@@ -493,9 +493,15 @@ class NgramSearch:
 
         return core
 
-    def _init_hmmc_tree(self):
-        """[N, S, C] carry for the N-copy tree core: copy 0 holds the
-        initial <s> entries, copies 1.. start empty."""
+    def _init_hmmc_tree(self, n_frames: int):
+        """Carry for the N-copy tree core: (alpha [N, S, C], bp payload
+        [N, S, C], history side-table [n_frames*E, 2]).  Tokens carry ONLY
+        their backpointer slot through the HMMs; each tape slot's (h2, h1)
+        lives in the side-table, read back for the E2-slot exit shortlist
+        — two fewer full-C payload planes in the scan (the propagation
+        gathers were the measured large-vocabulary scan cost, PERF.md §7).
+        Copy 0 holds the initial <s> entries, copies 1.. start empty;
+        bp = -1 denotes the (<s>, -1) initial history."""
         N = self.nlextree
         S, C = self.graph.n_emit_state, self.graph.n_chan
         a, h, w2, w1 = self._init_hmmc_static()
@@ -504,8 +510,8 @@ class NgramSearch:
             rest = jnp.full((N - 1, S, C), fill, x.dtype)
             return jnp.concatenate([x.reshape(S, C)[None], rest], 0)
 
-        return (exp(a, jnp.float32(NEG_INF)), exp(h, -1),
-                exp(w2, self.start_lmwid), exp(w1, -1))
+        ht = jnp.full((n_frames * self.E, 2), -1, jnp.int32)
+        return (exp(a, jnp.float32(NEG_INF)), exp(h, -1), ht)
 
     def _make_core_tree(self):
         """Per-frame Viterbi core for the PREFIX-SHARED lexicon tree
@@ -547,11 +553,13 @@ class NgramSearch:
             # (sphinx3 -Nlextree, srch_time_switch_tree.c): copy n holds
             # the n-th-best HISTORY-DISTINCT cross-word entry, so the
             # single-best-entry approximation keeps N live histories.
-            alpha0, hist0, hw20, hw10 = hmmc                 # [N, S, C]
+            # Tokens carry ONLY the bp slot; histories come from the
+            # side-table at the shortlist (PERF.md §7).
+            alpha0, hist0, ht0 = hmmc                        # [N, S, C]
             sen_t, la_t, t, valid = inputs
             sen = jnp.broadcast_to(sen_t.reshape(S, C)[None], (N, S, C))
-            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_bm(
-                alpha0, (hist0, hw20, hw10), sen, self._tp_bands)
+            alpha, (hist,), ex, (exh,) = hmm_step_bm(
+                alpha0, (hist0,), sen, self._tp_bands)
 
             if self.prune:
                 bestscr = jnp.max(alpha)
@@ -566,28 +574,29 @@ class NgramSearch:
             # ---- exit readout: best copy per word ----
             # Exit channels are a contiguous word-ordered block: readout
             # is a slice, not W row-gathers.
-            exh3 = jnp.stack([exh, exh2, exh1], 1)           # [N, 3, C]
             if xb >= 0:
                 wexn = ex[:, xb : xb + W]                    # [N, W]
-                whn = exh3[:, :, xb : xb + W]                # [N, 3, W]
+                whn = exh[:, xb : xb + W]                    # [N, W]
             else:
                 wexn = ex[:, self._exit_col]
-                whn = exh3[:, :, self._exit_col]
+                whn = exh[:, self._exit_col]
             if N == 1:
-                wex, wh = wexn[0], whn[0]
+                wex, wbp = wexn[0], whn[0]
             else:
                 nsel = jnp.argmax(wexn, axis=0)              # [W]
                 wex = jnp.max(wexn, axis=0)
-                ohN = (nsel[None] ==
-                       jnp.arange(N, dtype=jnp.int32)[:, None])
-                wh = jnp.sum(jnp.where(ohN[:, None, :], whn, 0), axis=0)
+                wbp = jnp.sum(jnp.where(
+                    nsel[None] == jnp.arange(N, dtype=jnp.int32)[:, None],
+                    whn, 0), axis=0)
 
             # ---- shortlist on the smeared (unigram-exact) score ----
             psel = wex + psel_bonus
             v2, wsel2 = jax.lax.top_k(psel, E2)              # [E2]
             okp = (v2 > neg * 0.5) & valid
-            peh = wh[:, wsel2]
-            pe2, ph2, ph1 = peh[0], peh[1], peh[2]
+            pe2 = wbp[wsel2]                                 # [E2] bp slots
+            phist = ht0[jnp.maximum(pe2, 0)]                 # [E2, 2]
+            ph2 = jnp.where(pe2 < 0, self.start_lmwid, phist[:, 0])
+            ph1 = jnp.where(pe2 < 0, -1, phist[:, 1])
             wl2 = self._lmwid[wsel2]
             fil2 = self._is_filler[wsel2]
             # Exact trigram for the shortlist, replacing the smeared ug.
@@ -611,9 +620,13 @@ class NgramSearch:
             yrow = (jnp.where(ok, wsel, -1), jnp.where(ok, vals, neg),
                     pe, h2, h1, jnp.where(ok[:, None], vals[:, None], neg))
 
+            # ---- record this frame's slot histories in the side-table
+            ht = jax.lax.dynamic_update_slice(
+                ht0, jnp.stack([h2, h1], 1), (t * E, 0))
+
             # ---- re-entries: copy n takes the n-th history-distinct slot
             # (vals are sorted, so scan the E slots once per copy) ----
-            ents, bps, eh2s, eh1s = [], [], [], []
+            ents, bps = [], []
             chosen_mask = jnp.zeros((E,), bool)
             for nth in range(N):
                 avail = ok & ~chosen_mask
@@ -622,36 +635,28 @@ class NgramSearch:
                 has = jnp.any(avail)
                 ents.append(jnp.where(has, vals[idx], neg))
                 bps.append(jnp.where(has, t * E + idx, -1))
-                eh2s.append(h2[idx])
-                eh1s.append(h1[idx])
                 # mark every slot sharing this history as used
                 chosen_mask = chosen_mask | (h2 == h2[idx])
             ent = jnp.stack(ents)                            # [N]
             ent_bp = jnp.stack(bps)
-            ent_h2 = jnp.stack(eh2s)
-            ent_h1 = jnp.stack(eh1s)
 
             # ---- within-word propagation with telescoping smear ----
             prop = jnp.where(has_prev[None],
                              ex[:, self._prev_chan_c] + log_pip
                              + self._la_delta_c[None], neg)
-            bsh = jnp.where(has_prev[None, None],
-                            exh3[:, :, self._prev_chan_c], -1)
+            bsh = jnp.where(has_prev[None],
+                            exh[:, self._prev_chan_c], -1)
             ie = self._is_entry[None]
             entry_c = jnp.where(ie, ent[:, None]
                                 + self._la_entry_c[None], prop)
-            entry_b = jnp.where(ie, ent_bp[:, None], bsh[:, 0])
-            entry_h2 = jnp.where(ie, ent_h2[:, None], bsh[:, 1])
-            entry_h1 = jnp.where(ie, ent_h1[:, None], bsh[:, 2])
-            alpha, (hist, hw2, hw1) = hmm_enter_bm(
-                alpha, (hist, hw2, hw1), entry_c,
-                (entry_b, entry_h2, entry_h1))
+            entry_b = jnp.where(ie, ent_bp[:, None], bsh)
+            alpha, (hist,) = hmm_enter_bm(
+                alpha, (hist,), entry_c, (entry_b,))
 
             alpha = jnp.where(valid, alpha, alpha0)
             hist = jnp.where(valid, hist, hist0)
-            hw2 = jnp.where(valid, hw2, hw20)
-            hw1 = jnp.where(valid, hw1, hw10)
-            return (alpha, hist, hw2, hw1), yrow
+            ht = jnp.where(valid, ht, ht0)
+            return (alpha, hist, ht), yrow
 
         return core
 
@@ -709,10 +714,12 @@ class NgramSearch:
         has_prev = jnp.asarray(g.prev_chan >= 0)
 
         def core(hmmc, inputs):
-            alpha0, hist0, hw20, hw10 = hmmc               # [B, S, C]
+            # Tokens carry only the bp slot; per-lane history side-table
+            # supplies (h2, h1) for the E2 shortlist (PERF.md §7).
+            alpha0, hist0, ht0 = hmmc                      # [B,S,C]/[B,TE,2]
             sen_t, t, validb = inputs                      # [B,S,C], [], [B]
-            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_bm(
-                alpha0, (hist0, hw20, hw10), sen_t, self._tp_bands)
+            alpha, (hist,), ex, (exh,) = hmm_step_bm(
+                alpha0, (hist0,), sen_t, self._tp_bands)
 
             if self.prune:
                 bestscr = jnp.max(alpha, axis=(1, 2))             # [B]
@@ -727,23 +734,20 @@ class NgramSearch:
             # Contiguous word-ordered exit block: the [B, W] readout is a
             # slice; payloads are gathered only for the E2 shortlist.
             xb = g.exit_base
-            exh3 = jnp.stack([exh, exh2, exh1], 1)                # [B, 3, C]
             if xb >= 0:
                 wex = ex[:, xb : xb + W]                          # [B, W]
-                wh = exh3[:, :, xb : xb + W]                      # [B, 3, W]
+                wbp = exh[:, xb : xb + W]                         # [B, W]
             else:
-                ex4 = jnp.concatenate([ex[:, None], exh3.astype(
-                    jnp.float32)], 1)                             # [B, 4, C]
-                ex4T = ex4.transpose(2, 1, 0).reshape(C, 4 * B)
-                wx4 = ex4T[self._exit_col].reshape(W, 4, B)
-                wex = wx4[:, 0].T
-                wh = wx4[:, 1:].transpose(2, 1, 0).astype(jnp.int32)
+                wex = ex[:, self._exit_col]
+                wbp = exh[:, self._exit_col]
             psel = wex + psel_bonus[None, :]
             v2, wsel2 = jax.lax.top_k(psel, E2)                   # [B, E2]
             okp = (v2 > neg * 0.5) & validb[:, None]
-            peh = jnp.take_along_axis(
-                wh, wsel2[:, None, :], axis=2).astype(jnp.int32)  # [B, 3, E2]
-            pe2, ph2, ph1 = peh[:, 0], peh[:, 1], peh[:, 2]
+            pe2 = jnp.take_along_axis(wbp, wsel2, axis=1)         # [B, E2]
+            phist = jnp.take_along_axis(
+                ht0, jnp.maximum(pe2, 0)[..., None], axis=1)      # [B,E2,2]
+            ph2 = jnp.where(pe2 < 0, self.start_lmwid, phist[..., 0])
+            ph1 = jnp.where(pe2 < 0, -1, phist[..., 1])
             wl2 = self._lmwid[wsel2]
             fil2 = self._is_filler[wsel2]
             own = self.dlm.score_tg(ph1, ph2, jnp.maximum(wl2, 0))
@@ -766,34 +770,33 @@ class NgramSearch:
                     pe, h2, h1,
                     jnp.where(ok[..., None], vals[..., None], neg))
 
+            # ---- record this frame's histories in the side-table ----
+            ht = jax.lax.dynamic_update_slice(
+                ht0, jnp.stack([h2, h1], -1), (0, t * E, 0))
+
             # ---- single best re-entry per lane ----
             has_ent = ok[:, 0]
             ent = jnp.where(has_ent, vals[:, 0], neg)             # [B]
             ent_bp = jnp.where(has_ent, t * E, -1)
-            ent_h2, ent_h1 = h2[:, 0], h1[:, 0]
 
             # ---- within-word propagation with telescoping smear ----
             prop = jnp.where(has_prev[None, :],
                              ex[:, self._prev_chan_c] + log_pip
                              + self._la_delta_c[None, :], neg)
-            bsh = jnp.where(has_prev[None, None, :],
-                            exh3[:, :, self._prev_chan_c], -1)
+            bsh = jnp.where(has_prev[None, :],
+                            exh[:, self._prev_chan_c], -1)
             ie = self._is_entry[None, :]
             entry_c = jnp.where(ie, ent[:, None]
                                 + self._la_entry_c[None, :], prop)
-            entry_b = jnp.where(ie, ent_bp[:, None], bsh[:, 0])
-            entry_h2 = jnp.where(ie, ent_h2[:, None], bsh[:, 1])
-            entry_h1 = jnp.where(ie, ent_h1[:, None], bsh[:, 2])
-            alpha, (hist, hw2, hw1) = hmm_enter_bm(
-                alpha, (hist, hw2, hw1), entry_c,
-                (entry_b, entry_h2, entry_h1))
+            entry_b = jnp.where(ie, ent_bp[:, None], bsh)
+            alpha, (hist,) = hmm_enter_bm(
+                alpha, (hist,), entry_c, (entry_b,))
 
             vm = validb[:, None, None]
             alpha = jnp.where(vm, alpha, alpha0)
             hist = jnp.where(vm, hist, hist0)
-            hw2 = jnp.where(vm, hw2, hw20)
-            hw1 = jnp.where(vm, hw1, hw10)
-            return (alpha, hist, hw2, hw1), yrow
+            ht = jnp.where(validb[:, None, None], ht, ht0)
+            return (alpha, hist, ht), yrow
 
         return core
 
@@ -942,7 +945,13 @@ class NgramSearch:
         core = self._get_core_static_batched(B)
         rep = lambda a: jnp.broadcast_to(                  # noqa: E731
             a.reshape(S, C)[None], (B, S, C))
-        hmmc = tuple(rep(a) for a in self._init_hmmc_static())
+        if self._tree:
+            a0, h0, _ = self._init_hmmc_tree(Tp)
+            hmmc = (jnp.broadcast_to(a0, (B, S, C)),
+                    jnp.broadcast_to(h0, (B, S, C)),
+                    jnp.full((B, Tp * E, 2), -1, jnp.int32))
+        else:
+            hmmc = tuple(rep(a) for a in self._init_hmmc_static())
         sc_r = scores.reshape(B, NB, KB, -1).transpose(1, 0, 2, 3)
         val_r = valid.reshape(B, NB, KB).transpose(1, 2, 0)  # [NB, KB, B]
         t0s = jnp.arange(NB, dtype=jnp.int32) * KB
@@ -1232,7 +1241,7 @@ class NgramSearch:
                       if self.FRAME_BUCKET % k == 0
                       and k * per_frame <= (96 << 20))
             NB = Tpad // KB
-            hmmc = (self._init_hmmc_tree() if self._tree
+            hmmc = (self._init_hmmc_tree(Tpad) if self._tree
                     else self._init_hmmc_static())
             la_r = la.reshape(NB, KB, -1)
             sc_r = scores.reshape(NB, KB, -1)
@@ -1388,7 +1397,7 @@ class NgramSearch:
         (acmod_set_grow semantics, pocketsphinx acmod.c)."""
         g, E = self.graph, self.E
         if self._fast:
-            hmmc = (self._init_hmmc_tree() if self._tree
+            hmmc = (self._init_hmmc_tree(max_frames) if self._tree
                     else self._init_hmmc_static())
         else:
             hmmc = self._init_hmmc()
@@ -1453,6 +1462,13 @@ class NgramSearch:
                 jnp.concatenate([th1, jnp.full((grow,), -1, jnp.int32)]),
                 jnp.concatenate([trc, jnp.full((grow, g.n_rcvar), NEG_INF)]),
             )
+            if self._tree:
+                # the history side-table (last hmmc element) grows with
+                # the tape
+                ht = hmmc[-1]
+                ht = jnp.concatenate(
+                    [ht, jnp.full((grow, 2), -1, jnp.int32)])
+                hmmc = hmmc[:-1] + (ht,)
             state["carry"] = hmmc + (tape,)
             state["max_frames"] *= 2
 
