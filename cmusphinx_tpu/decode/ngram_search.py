@@ -360,14 +360,10 @@ class NgramSearch:
         C, S = g.n_chan, g.n_emit_state
         alpha = jnp.full((S * C,), NEG_INF)
         hist = jnp.full((S * C,), -1, jnp.int32)
-        hw2 = jnp.full((S * C,), self.start_lmwid, jnp.int32)
-        hw1 = jnp.full((S * C,), -1, jnp.int32)
-        alpha, (hist, hw2, hw1) = hmm_enter_sm(
-            alpha, (hist, hw2, hw1), self._entc0,
-            (jnp.full((C,), -1, jnp.int32),
-             jnp.full((C,), self.start_lmwid, jnp.int32),
-             jnp.full((C,), -1, jnp.int32)))
-        return alpha, hist, hw2, hw1
+        alpha, (hist,) = hmm_enter_sm(
+            alpha, (hist,), self._entc0,
+            (jnp.full((C,), -1, jnp.int32),))
+        return alpha, hist
 
     def _make_core_static(self):
         """Per-frame Viterbi core for STATIC-senone graphs (composite left
@@ -388,10 +384,12 @@ class NgramSearch:
         use_rows = self.dlm.tg_dense is None
 
         def core(hmmc, inputs):
-            alpha0, hist0, hw20, hw10 = hmmc                 # [S*C] flat
+            # Tokens carry only the bp slot; per-slot histories live in
+            # the side-table (PERF.md §7), read back for the E exits.
+            alpha0, hist0, ht0 = hmmc                        # [S*C] flat
             sen_t, la_t, t, valid = inputs                   # sen_t [S*C]
-            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_sm(
-                alpha0, (hist0, hw20, hw10), sen_t, self._tp_bands)
+            alpha, (hist,), ex, (exh,) = hmm_step_sm(
+                alpha0, (hist0,), sen_t, self._tp_bands)
 
             if self.prune:
                 bestscr = jnp.max(alpha)
@@ -404,10 +402,9 @@ class NgramSearch:
                                ex, neg)
 
             # ---- word exits ----
-            exh3 = jnp.stack([exh, exh2, exh1], 0)           # [3, C]
             if Vr == 1:
                 wex = ex[self._exit_col]                     # [W]
-                wexh3 = exh3[:, self._exit_col]              # [3, W]
+                wbp = exh[self._exit_col]                    # [W]
             else:
                 exv = jnp.where(self._exit_tab >= 0,
                                 ex[self._exit_tab_c], neg)
@@ -415,14 +412,16 @@ class NgramSearch:
                 vwin = jnp.argmax(exv, axis=1)
                 sel = jnp.take_along_axis(
                     self._exit_tab_c, vwin[:, None], axis=1)[:, 0]
-                wexh3 = exh3[:, sel]
+                wbp = exh[sel]
             vals, wsel = jax.lax.top_k(wex, E)
             slot_rc = (vals[:, None] if Vr == 1
                        else jnp.where(self._exit_tab >= 0,
                                       ex[self._exit_tab_c], neg)[wsel])
             ok = (vals > neg * 0.5) & valid
-            peh = wexh3[:, wsel]                             # [3, E]
-            pe, prev_h2, prev_h1 = peh[0], peh[1], peh[2]
+            pe = wbp[wsel]                                   # [E]
+            phist = ht0[jnp.maximum(pe, 0)]                  # [E, 2]
+            prev_h2 = jnp.where(pe < 0, self.start_lmwid, phist[:, 0])
+            prev_h1 = jnp.where(pe < 0, -1, phist[:, 1])
             wl = self._lmwid[wsel]
             fil = self._is_filler[wsel]
             h2 = jnp.where(fil, prev_h2, wl)
@@ -451,45 +450,38 @@ class NgramSearch:
             estar = jnp.argmax(cand, axis=0)
             has_ent = ent_w > neg * 0.5
             ebp_w = jnp.where(has_ent, t * E + estar, -1)
-            ehh = jnp.stack([h2, h1], 0)[:, estar]           # [2, W]
 
-            # Entry routing: one [4, C] gather along the minor axis.
-            entw4 = jnp.stack(
-                [ent_w, ebp_w.astype(jnp.float32),
-                 ehh[0].astype(jnp.float32),
-                 ehh[1].astype(jnp.float32)], 0)             # [4, W]
-            entc4 = entw4[:, self._word_of]                  # [4, C]
+            # ---- record this frame's slot histories ----
+            ht = jax.lax.dynamic_update_slice(
+                ht0, jnp.stack([h2, h1], 1), (t * E, 0))
+
+            # Entry routing: one [2, C] gather along the minor axis.
+            entw2 = jnp.stack(
+                [ent_w, ebp_w.astype(jnp.float32)], 0)       # [2, W]
+            entc2 = entw2[:, self._word_of]                  # [2, C]
 
             # ---- within-word propagation: pure shift ----
             if self._chain_shift:
                 prop = jnp.concatenate(
                     [jnp.full((1,), neg), ex[:-1] + log_pip])
                 bsh = jnp.concatenate(
-                    [jnp.full((3, 1), -1, exh3.dtype), exh3[:, :-1]],
-                    axis=1)
+                    [jnp.full((1,), -1, exh.dtype), exh[:-1]])
             else:
                 has_prev = self._prev_chan >= 0
                 prop = jnp.where(has_prev,
                                  ex[self._prev_chan_c] + log_pip, neg)
-                bsh = jnp.where(has_prev[None, :],
-                                exh3[:, self._prev_chan_c], -1)
+                bsh = jnp.where(has_prev, exh[self._prev_chan_c], -1)
 
-            entry_c = jnp.where(self._is_entry, entc4[0], prop)
+            entry_c = jnp.where(self._is_entry, entc2[0], prop)
             entry_b = jnp.where(self._is_entry,
-                                entc4[1].astype(jnp.int32), bsh[0])
-            entry_h2 = jnp.where(self._is_entry,
-                                 entc4[2].astype(jnp.int32), bsh[1])
-            entry_h1 = jnp.where(self._is_entry,
-                                 entc4[3].astype(jnp.int32), bsh[2])
-            alpha, (hist, hw2, hw1) = hmm_enter_sm(
-                alpha, (hist, hw2, hw1), entry_c,
-                (entry_b, entry_h2, entry_h1))
+                                entc2[1].astype(jnp.int32), bsh)
+            alpha, (hist,) = hmm_enter_sm(
+                alpha, (hist,), entry_c, (entry_b,))
 
             alpha = jnp.where(valid, alpha, alpha0)
             hist = jnp.where(valid, hist, hist0)
-            hw2 = jnp.where(valid, hw2, hw20)
-            hw1 = jnp.where(valid, hw1, hw10)
-            return (alpha, hist, hw2, hw1), yrow
+            ht = jnp.where(valid, ht, ht0)
+            return (alpha, hist, ht), yrow
 
         return core
 
@@ -504,7 +496,7 @@ class NgramSearch:
         bp = -1 denotes the (<s>, -1) initial history."""
         N = self.nlextree
         S, C = self.graph.n_emit_state, self.graph.n_chan
-        a, h, w2, w1 = self._init_hmmc_static()
+        a, h = self._init_hmmc_static()
 
         def exp(x, fill):
             rest = jnp.full((N - 1, S, C), fill, x.dtype)
@@ -819,10 +811,12 @@ class NgramSearch:
         hp = jax.lax.Precision.HIGHEST
 
         def core(hmmc, inputs):
-            alpha0, hist0, hw20, hw10 = hmmc               # [B, S, C]
+            # Tokens carry only the bp slot; per-lane history side-table
+            # supplies (h2, h1) for the E exits (PERF.md §7).
+            alpha0, hist0, ht0 = hmmc                      # [B,S,C]/[B,TE,2]
             sen_t, t, validb = inputs                      # [B,S,C], [], [B]
-            alpha, (hist, hw2, hw1), ex, (exh, exh2, exh1) = hmm_step_bm(
-                alpha0, (hist0, hw20, hw10), sen_t, self._tp_bands)
+            alpha, (hist,), ex, (exh,) = hmm_step_bm(
+                alpha0, (hist0,), sen_t, self._tp_bands)
 
             if self.prune:
                 bestscr = jnp.max(alpha, axis=(1, 2))             # [B]
@@ -834,20 +828,20 @@ class NgramSearch:
                     ex, neg)
 
             # ---- word exits (composite rc: one exit channel per word).
-            # Readout via transpose + ROW gather: all four per-channel
-            # arrays pack into [C, 4B] so each gathered row is 4B wide.
-            ex4 = jnp.stack([ex, exh.astype(jnp.float32),
-                             exh2.astype(jnp.float32),
-                             exh1.astype(jnp.float32)], 1)        # [B, 4, C]
-            ex4T = ex4.transpose(2, 1, 0).reshape(C, 4 * B)
-            wx4 = ex4T[self._exit_col].reshape(W, 4, B)           # [W, 4, B]
-            wex = wx4[:, 0].T                                     # [B, W]
+            # Readout via transpose + ROW gather: score + bp pack into
+            # [C, 2B] so each gathered row is 2B wide.
+            ex2 = jnp.stack([ex, exh.astype(jnp.float32)], 1)     # [B, 2, C]
+            ex2T = ex2.transpose(2, 1, 0).reshape(C, 2 * B)
+            wx2 = ex2T[self._exit_col].reshape(W, 2, B)           # [W, 2, B]
+            wex = wx2[:, 0].T                                     # [B, W]
             vals, wsel = jax.lax.top_k(wex, E)                    # [B, E]
             ok = (vals > neg * 0.5) & validb[:, None]
-            peh = jnp.take_along_axis(
-                wx4[:, 1:].transpose(2, 1, 0), wsel[:, None, :],
-                axis=2).astype(jnp.int32)                         # [B, 3, E]
-            pe, prev_h2, prev_h1 = peh[:, 0], peh[:, 1], peh[:, 2]
+            pe = jnp.take_along_axis(
+                wx2[:, 1].T, wsel, axis=1).astype(jnp.int32)      # [B, E]
+            phist = jnp.take_along_axis(
+                ht0, jnp.maximum(pe, 0)[..., None], axis=1)       # [B, E, 2]
+            prev_h2 = jnp.where(pe < 0, self.start_lmwid, phist[..., 0])
+            prev_h1 = jnp.where(pe < 0, -1, phist[..., 1])
             wl = self._lmwid[wsel]
             fil = self._is_filler[wsel]
             h2 = jnp.where(fil, prev_h2, wl)
@@ -874,57 +868,44 @@ class NgramSearch:
             estar = jnp.argmax(cand, axis=1)                  # [B, W]
             has_ent = ent_w > neg * 0.5
             ebp_w = jnp.where(has_ent, t * E + estar, -1)
-            # h2/h1 of the winning exit slot, via a one-hot over E (exact;
-            # a [B, W]-element gather would serialize).
-            ohE = (estar[..., None] ==
-                   jnp.arange(E, dtype=jnp.int32)).astype(jnp.float32)
-            ehh = jnp.einsum('bwe,bek->bwk', ohE,
-                             jnp.stack([h2, h1], -1).astype(jnp.float32),
-                             precision=hp).astype(jnp.int32)  # [B, W, 2]
 
-            # Entry routing: pack [W, 4*B], gather 4B-wide rows, return to
-            # batch-major [B, 4, C].
-            ent4 = jnp.stack(
-                [ent_w, ebp_w.astype(jnp.float32),
-                 ehh[..., 0].astype(jnp.float32),
-                 ehh[..., 1].astype(jnp.float32)], 1)         # [B, 4, W]
-            ent4T = ent4.transpose(2, 1, 0).reshape(W, 4 * B)
-            entc = (ent4T[self._word_of].reshape(C, 4, B)
-                    .transpose(2, 1, 0))                      # [B, 4, C]
+            # ---- record this frame's slot histories ----
+            ht = jax.lax.dynamic_update_slice(
+                ht0, jnp.stack([h2, h1], -1), (0, t * E, 0))
+
+            # Entry routing: pack [W, 2*B], gather 2B-wide rows, return to
+            # batch-major [B, 2, C].
+            ent2 = jnp.stack(
+                [ent_w, ebp_w.astype(jnp.float32)], 1)        # [B, 2, W]
+            ent2T = ent2.transpose(2, 1, 0).reshape(W, 2 * B)
+            entc = (ent2T[self._word_of].reshape(C, 2, B)
+                    .transpose(2, 1, 0))                      # [B, 2, C]
 
             # ---- within-word propagation: pure shift along C ----
-            exh3 = jnp.stack([exh, exh2, exh1], 1)            # [B, 3, C]
             if self._chain_shift:
                 prop = jnp.concatenate(
                     [jnp.full((B, 1), neg), ex[:, :-1] + log_pip], axis=1)
                 bsh = jnp.concatenate(
-                    [jnp.full((B, 3, 1), -1, exh3.dtype), exh3[..., :-1]],
-                    axis=2)
+                    [jnp.full((B, 1), -1, exh.dtype), exh[:, :-1]],
+                    axis=1)
             else:
                 has_prev = self._prev_chan >= 0
                 prop = jnp.where(has_prev[None, :],
                                  ex[:, self._prev_chan_c] + log_pip, neg)
-                bsh = jnp.where(has_prev[None, None, :],
-                                exh3[:, :, self._prev_chan_c], -1)
+                bsh = jnp.where(has_prev[None, :],
+                                exh[:, self._prev_chan_c], -1)
 
             ie = self._is_entry[None, :]
             entry_c = jnp.where(ie, entc[:, 0], prop)
-            entry_b = jnp.where(ie, entc[:, 1].astype(jnp.int32),
-                                bsh[:, 0])
-            entry_h2 = jnp.where(ie, entc[:, 2].astype(jnp.int32),
-                                 bsh[:, 1])
-            entry_h1 = jnp.where(ie, entc[:, 3].astype(jnp.int32),
-                                 bsh[:, 2])
-            alpha, (hist, hw2, hw1) = hmm_enter_bm(
-                alpha, (hist, hw2, hw1), entry_c,
-                (entry_b, entry_h2, entry_h1))
+            entry_b = jnp.where(ie, entc[:, 1].astype(jnp.int32), bsh)
+            alpha, (hist,) = hmm_enter_bm(
+                alpha, (hist,), entry_c, (entry_b,))
 
             vm = validb[:, None, None]
             alpha = jnp.where(vm, alpha, alpha0)
             hist = jnp.where(vm, hist, hist0)
-            hw2 = jnp.where(vm, hw2, hw20)
-            hw1 = jnp.where(vm, hw1, hw10)
-            return (alpha, hist, hw2, hw1), yrow
+            ht = jnp.where(vm, ht, ht0)
+            return (alpha, hist, ht), yrow
 
         return core
 
@@ -951,7 +932,9 @@ class NgramSearch:
                     jnp.broadcast_to(h0, (B, S, C)),
                     jnp.full((B, Tp * E, 2), -1, jnp.int32))
         else:
-            hmmc = tuple(rep(a) for a in self._init_hmmc_static())
+            a0, h0 = self._init_hmmc_static()
+            hmmc = (rep(a0), rep(h0),
+                    jnp.full((B, Tp * E, 2), -1, jnp.int32))
         sc_r = scores.reshape(B, NB, KB, -1).transpose(1, 0, 2, 3)
         val_r = valid.reshape(B, NB, KB).transpose(1, 2, 0)  # [NB, KB, B]
         t0s = jnp.arange(NB, dtype=jnp.int32) * KB
@@ -1241,8 +1224,11 @@ class NgramSearch:
                       if self.FRAME_BUCKET % k == 0
                       and k * per_frame <= (96 << 20))
             NB = Tpad // KB
-            hmmc = (self._init_hmmc_tree(Tpad) if self._tree
-                    else self._init_hmmc_static())
+            if self._tree:
+                hmmc = self._init_hmmc_tree(Tpad)
+            else:
+                hmmc = self._init_hmmc_static() + (
+                    jnp.full((Tpad * E, 2), -1, jnp.int32),)
             la_r = la.reshape(NB, KB, -1)
             sc_r = scores.reshape(NB, KB, -1)
             val_r = valid.reshape(NB, KB)
@@ -1397,8 +1383,11 @@ class NgramSearch:
         (acmod_set_grow semantics, pocketsphinx acmod.c)."""
         g, E = self.graph, self.E
         if self._fast:
-            hmmc = (self._init_hmmc_tree(max_frames) if self._tree
-                    else self._init_hmmc_static())
+            if self._tree:
+                hmmc = self._init_hmmc_tree(max_frames)
+            else:
+                hmmc = self._init_hmmc_static() + (
+                    jnp.full((max_frames * E, 2), -1, jnp.int32),)
         else:
             hmmc = self._init_hmmc()
         B = max_frames * E
@@ -1462,7 +1451,7 @@ class NgramSearch:
                 jnp.concatenate([th1, jnp.full((grow,), -1, jnp.int32)]),
                 jnp.concatenate([trc, jnp.full((grow, g.n_rcvar), NEG_INF)]),
             )
-            if self._tree:
+            if self._fast:
                 # the history side-table (last hmmc element) grows with
                 # the tape
                 ht = hmmc[-1]
