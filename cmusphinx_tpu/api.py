@@ -285,6 +285,16 @@ class Decoder:
         else:
             self._stream_feats(cep, endutt=False)
 
+    def abort_utt(self) -> None:
+        """Discard any utterance in progress and reset to IDLE.  Used for
+        per-utterance failure isolation (the reference's batch driver
+        warns and continues after a bad utterance, sphinx3 libAPI/utt.c);
+        safe to call in any state."""
+        self._in_utt = False
+        self._stream = None
+        self._raw_chunks = []
+        self._hyp = None
+
     def end_utt(self) -> Hypothesis:
         if not self._in_utt:
             raise RuntimeError("no utterance in progress")

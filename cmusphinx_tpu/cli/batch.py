@@ -19,7 +19,7 @@ import numpy as np
 
 from ..api import DECODER_ARGS, Decoder
 from ..utils.config import Arg, Config
-from ..utils.log import E_INFO, err_set_debug_level, err_set_logfile
+from ..utils.log import E_ERROR, E_INFO, err_set_debug_level, err_set_logfile
 from ..utils.profile import Profile
 
 BATCH_ARGS = [
@@ -107,16 +107,29 @@ def main(argv=None) -> int:
     total_audio = total_wall = 0.0
     n_done = prof.counter("utts")
     n_words = prof.counter("words")
+    skipped = []  # per-utterance error isolation (sphinx3 utt.c: warn+continue)
     for utt in ctl:
         path = os.path.join(str(cfg["cepdir"]), utt + str(cfg["cepext"]))
         t0 = time.time()
-        with prof.timer("decode"):
-            if bool(cfg["adcin"]):
-                hyp = dec.decode_raw(path)
-                n_frames = len(dec.seg()) and dec.seg()[-1].end_frame + 1
-            else:
-                hyp = dec.decode_cep_file(path)
-                n_frames = dec.seg()[-1].end_frame + 1 if dec.seg() else 0
+        try:
+            with prof.timer("decode"):
+                if bool(cfg["adcin"]):
+                    hyp = dec.decode_raw(path)
+                    n_frames = len(dec.seg()) and dec.seg()[-1].end_frame + 1
+                else:
+                    hyp = dec.decode_cep_file(path)
+                    n_frames = dec.seg()[-1].end_frame + 1 if dec.seg() else 0
+        except KeyboardInterrupt:
+            raise
+        except Exception as e:
+            # One bad utterance must not abort the corpus run: the
+            # reference's batch driver logs the failure and moves on
+            # (sphinx3 libAPI/utt.c; SURVEY §5 failure detection).
+            E_ERROR("%s: decode failed, skipping: %s: %s",
+                    utt, type(e).__name__, e)
+            skipped.append(utt)
+            dec.abort_utt()  # reset mid-utterance state for the next utt
+            continue
         dt = time.time() - t0
         audio_s = n_frames * 0.01
         total_audio += audio_s
@@ -151,6 +164,10 @@ def main(argv=None) -> int:
               f"{total_wall:.2f} seconds wall")
         print(f"AVERAGE {total_wall / total_audio:.2f} xRT")
         print(f"STATS {prof.report(audio_seconds=total_audio)}")
+    if skipped:
+        E_ERROR("%d/%d utterances FAILED and were skipped: %s",
+                len(skipped), len(ctl), " ".join(skipped))
+        print(f"SKIPPED {len(skipped)}: {' '.join(skipped)}")
     return 0
 
 

@@ -55,7 +55,11 @@ def main(argv=None) -> int:
         if bool(cfg["partials"]) and text:
             print(f"  partial @{t:7.2f}s: {text}", flush=True)
 
+    n_segments = 0
+
     def on_result(hyp, t0, t1):
+        nonlocal n_segments
+        n_segments += 1
         print(f"[{t0:8.2f} - {t1:8.2f}] {hyp.text}", flush=True)
 
     pipe = SpeechPipeline(dec, on_partial=on_partial, on_result=on_result,
@@ -63,7 +67,7 @@ def main(argv=None) -> int:
                           sample_rate=src.sample_rate)
     pipe.run(src)
     src.close()
-    if not segs:
+    if n_segments == 0:
         print("(no speech detected)")
     return 0
 

@@ -169,12 +169,22 @@ def main(argv=None) -> int:
         #   astar -lat F -lm LM [-n N]                 -> N-best list
         #   conf  -lat F -lm LM [-ascale A]            -> word confidences
         import math as _m
-        from ..decode.lattice import read_lattice
+        from ..decode.lattice import read_htk_lattice, read_lattice
         from ..models.ngram import NgramModel
-        lm = NgramModel.read(kv["lm"])
         lw = float(kv.get("lw", 9.5))
-        lat = read_lattice(kv["lat"], lm, lw=lw,
-                           log_wip=_m.log(float(kv.get("wip", 0.65))))
+        if kv["lat"].lower().endswith((".slf", ".htk")):
+            # HTK SLF lattices (CLP / htk2dag capability); -lm optional —
+            # without it the file's own a=/l= link scores drive rescoring.
+            lm = NgramModel.read(kv["lm"]) if kv.get("lm") else None
+            lat = read_htk_lattice(kv["lat"], lm,
+                                   lw=lw if lm is not None else 1.0,
+                                   log_wip=(_m.log(float(kv.get("wip", 0.65)))
+                                            if lm is not None else 0.0))
+            lm = lat.lm
+        else:
+            lm = NgramModel.read(kv["lm"])
+            lat = read_lattice(kv["lat"], lm, lw=lw,
+                               log_wip=_m.log(float(kv.get("wip", 0.65))))
         start = lm.word_id("<s>")
         if cmd == "dag":
             hyp = lat.bestpath(lw=lw, start_lmwid=start)

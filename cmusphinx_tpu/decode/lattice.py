@@ -550,6 +550,132 @@ class Lattice:
                 fh.write(f"J={k}\tS={i}\tE={j}\ta={a:.2f}\tl=0.0\n")
 
 
+class _FileScoreLM:
+    """Stand-in LM for lattices whose LM scores live on the links (HTK
+    SLF `l=` fields) rather than being recomputable: every n-gram query
+    returns 0 so that bestpath/posterior/nbest score purely from the
+    link weights (acoustic + lmscale*l folded into the edge)."""
+
+    def word_id(self, w: str) -> int:
+        return -1
+
+    def tg_score(self, h1: int, h2: int, w: int) -> float:
+        return 0.0
+
+    def bg_score(self, h: int, w: int) -> float:
+        return 0.0
+
+
+import re as _re
+
+_SLF_FIELD = _re.compile(r'(\S+?)=(?:"((?:[^\\"]|\\.)*)"|(\S+))')
+
+
+def read_htk_lattice(path: str, lm=None, lw: float = 1.0,
+                     log_wip: float = 0.0, frate: int = 100,
+                     silprob: float = 0.005, fillprob: float = 1e-8,
+                     finish_word: str = "</s>") -> "Lattice":
+    """Read an HTK SLF lattice (the format the reference consumes in
+    SphinxTrain/python/cmusphinx/lattice.py htk2dag and CLP/src/Lattice.cc)
+    so sausage/posterior/bestpath/N-best run over externally produced
+    lattices.  Round-trips `Lattice.write_htk`.
+
+    Supported surface: `key=value` fields (quoted values allowed),
+    header `N=/L=` or `NODES=/LINKS=` counts, optional `start=`/`end=`,
+    `lmscale=`; node lines `I= t= [W=] [v=]`; link lines
+    `J= S= E= [W=] [a=] [l=|n=]`.  Words may sit on nodes (our writer,
+    sphinx convention) or on links (HTK convention — attached to the
+    link's END node, matching how htk2dag-based consumers traverse).
+
+    With lm=None the link `l=` scores (scaled by the header's lmscale)
+    are folded into the edge weights and all n-gram queries return 0 —
+    rescoring then reproduces the file's own path scores.  Passing an
+    `lm` recomputes LM terms from it instead (lat_rescore.py capability).
+    """
+    header: Dict[str, str] = {}
+    node_fields: Dict[int, Dict[str, str]] = {}
+    link_fields: List[Dict[str, str]] = []
+    state = "header"
+    with open(path) as fh:
+        for line in fh:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            fields = {m.group(1): (m.group(2) if m.group(2) is not None
+                                   else m.group(3))
+                      for m in _SLF_FIELD.finditer(line)}
+            if not fields:
+                continue
+            if "N" in fields or "NODES" in fields:
+                state = "items"
+                header.update(fields)
+                continue
+            if state == "header":
+                header.update(fields)
+            elif "I" in fields:
+                node_fields[int(fields["I"])] = fields
+            elif "J" in fields:
+                link_fields.append(fields)
+    n_nodes = int(header.get("N", header.get("NODES", len(node_fields))))
+    lmscale = float(header.get("lmscale", 1.0))
+    use_file_lm = lm is None
+    if use_file_lm:
+        lm = _FileScoreLM()
+    silpen = math.log(silprob)
+    fillpen = math.log(fillprob)
+    finish_lmwid = lm.word_id(finish_word)
+
+    words = [""] * n_nodes
+    tframe = [0] * n_nodes
+    for i, f in node_fields.items():
+        tframe[i] = int(round(float(f.get("t", 0)) * frate))
+        if "W" in f:
+            words[i] = f["W"]
+    edges: Dict[Tuple[int, int], float] = {}
+    succs_t: Dict[int, List[int]] = {}
+    for f in link_fields:
+        s, e = int(f["S"]), int(f["E"])
+        a = float(f.get("a", 0.0))
+        l = float(f.get("n", f.get("l", 0.0)))
+        if "W" in f and not words[e]:
+            words[e] = f["W"]  # HTK word-on-link convention
+        w = a + (lmscale * l if use_file_lm else 0.0)
+        # Parallel links between the same node pair keep the best weight.
+        if (s, e) not in edges or w > edges[(s, e)]:
+            edges[(s, e)] = w
+        succs_t.setdefault(s, []).append(e)
+    maxt = max(tframe) if tframe else 0
+    nodes: List[LatNode] = []
+    for i in range(n_nodes):
+        word = words[i] or "!NULL"
+        sf = tframe[i]
+        nxt = [tframe[j] for j in succs_t.get(i, [])]
+        ef = (min(nxt) - 1) if nxt else maxt
+        ef = max(ef, sf)
+        lmwid = lm.word_id(word)
+        is_fil = (word in ("<sil>", "<s>", "</s>", "!NULL", "!SENT_START",
+                           "!SENT_END")
+                  or word.startswith("++")
+                  or (lmwid < 0 and not use_file_lm))
+        fp = (0.0 if word in ("!NULL", "!SENT_START", "!SENT_END")
+              else silpen if word in ("<sil>", "<s>", "</s>") else fillpen)
+        if use_file_lm:
+            fp = 0.0  # file scores carry everything
+        nodes.append(LatNode(
+            id=i, word=word, kidx=i, lmwid=lmwid, is_filler=bool(is_fil),
+            fil_pen=fp, sf=sf, ef=ef, vit_score=0.0,
+            rc_score=np.zeros(1), entry_score=0.0,
+            is_finish=(word in (finish_word, "!SENT_END"))))
+    lat = Lattice(nodes, np.zeros(n_nodes, np.int32),
+                  np.zeros(n_nodes, np.int32), lm, lw, log_wip, 0,
+                  finish_lmwid, maxt + 1, explicit_edges=edges)
+    if "start" in header:
+        lat._starts = [int(header["start"])]
+    if "end" in header:
+        lat._ends = [int(header["end"])]
+    return lat
+
+
 def read_lattice(path: str, lm, lw: float = 6.5, log_wip: float = -0.43,
                  silprob: float = 0.005, fillprob: float = 1e-8,
                  finish_word: str = "</s>") -> "Lattice":

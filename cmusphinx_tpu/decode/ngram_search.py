@@ -99,11 +99,12 @@ NGRAM_ARGS = [
     Arg("bestpath", bool, False,
         "Run lattice trigram rescoring after Viterbi (ps -bestpath)"),
     Arg("bestpathlw", float, 9.5, "Language weight for bestpath rescoring"),
-    Arg("latbeam", float, 1e-40,
+    Arg("latbeam", float, 0.0,
         "Lattice link beam for bestpath rescoring: links off every path "
         "within this (linear-probability) width of the bigram-approximate "
-        "best path are skipped by the exact trigram DP.  0 disables "
-        "pruning (fully exact rescoring)"),
+        "best path are skipped by the exact trigram DP.  Default 0 = "
+        "fully exact rescoring; set e.g. 1e-40 for the pruned fast path "
+        "(measured score-identical on the WSJ bench, PERF.md §5)"),
     Arg("ascale", float, 20.0, "Inverse acoustic scale for lattice posteriors"),
     Arg("prune", bool, True,
         "Apply beam pruning.  Matches the reference's behavior: the beams act "
@@ -143,6 +144,16 @@ class NgramVocab:
         self.is_finish = np.asarray([d.base_str(w) == "</s>" for w in words], bool)
         self.word_str = [d.word_str(w) for w in words]
         self.n_word = len(words)
+
+
+# Largest fanout/mpx channel graph the decoder will hand to the device.
+# The exact cross-word configuration (rcmode='fanout', mpx left contexts)
+# multiplexes per-context senone variants into every channel; at 5k words
+# (~181k channels) the compiled program was measured to crash the TPU
+# device runtime outright, while 1.5k words (~55k channels) decodes fine
+# (EVALS.md).  Graphs above this limit fail fast with a ValueError naming
+# the composite fallback instead of reaching the device.
+FANOUT_CHAN_LIMIT = 100_000
 
 
 class NgramSearch:
@@ -192,6 +203,14 @@ class NgramSearch:
                                           Dict2Pid(mdef, d), rc_mode=rc_mode,
                                           lc_mode=lc_mode, lex_mode=lex_mode,
                                           ug_lookahead=ugla)
+        if rc_mode == "fanout" and g.n_chan > FANOUT_CHAN_LIMIT:
+            raise ValueError(
+                f"rcmode='fanout' built {g.n_chan} multiplexed channels for "
+                f"{v.n_word} words, above the supported limit of "
+                f"{FANOUT_CHAN_LIMIT} (larger exact-fanout graphs crash the "
+                "TPU device runtime); use rcmode='composite' — the sphinx3 "
+                "composite-triphone approximation, and what rcmode='auto' "
+                "selects at >= 1000 words — for this vocabulary")
         self._tree = g.lex_mode == "tree"
         self.nlextree = max(1, int(cfg["nlextree"])) if self._tree else 1
         # Static-senone fast path: with composite left contexts every
@@ -627,8 +646,9 @@ class NgramSearch:
                 has = jnp.any(avail)
                 ents.append(jnp.where(has, vals[idx], neg))
                 bps.append(jnp.where(has, t * E + idx, -1))
-                # mark every slot sharing this history as used
-                chosen_mask = chosen_mask | (h2 == h2[idx])
+                # mark every slot sharing this (h2, h1) trigram history
+                # as used so later copies take genuinely distinct histories
+                chosen_mask = chosen_mask | ((h2 == h2[idx]) & (h1 == h1[idx]))
             ent = jnp.stack(ents)                            # [N]
             ent_bp = jnp.stack(bps)
 

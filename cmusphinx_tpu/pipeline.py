@@ -37,6 +37,12 @@ class SpeechPipeline:
         self.on_partial = on_partial
         self.on_result = on_result
         self.sr = float(sample_rate or decoder.config["samprate"])
+        dec_sr = float(decoder.config["samprate"])
+        if abs(self.sr - dec_sr) > 1e-6:
+            raise ValueError(
+                f"source sample rate {self.sr:g} != decoder -samprate {dec_sr:g}; "
+                "resample the audio or re-init the decoder with a matching "
+                "-samprate (the feature frontend is rate-specific)")
         self.vad = ContAD(sample_rate=self.sr, delta=vad_delta)
         self._partial_every = int(partial_every * self.sr)
         self._since_partial = 0

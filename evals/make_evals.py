@@ -170,7 +170,7 @@ def wsj_search(ctx, lmkind, **kw):
     from cmusphinx_tpu.decode import NgramSearch
     lm = build_lm(ctx["vocab"], lmkind)
     args = dict(rcmode="composite", lw=7.5, wip=0.5, beam=1e-60,
-                wbeam=1e-40, maxwpf=32, bestpathlw=8.5)
+                wbeam=1e-40, maxwpf=32, bestpathlw=8.5, latbeam=1e-40)
     args.update(kw)
     return NgramSearch(lm, ctx["d"], ctx["mdef"], ctx["tmat"],
                        ctx["scorer"], **args)
@@ -370,7 +370,7 @@ def sec_wsj60k(out):
                              rcmode="composite", lcmode="composite",
                              lexmode=lexmode, lw=7.5, wip=0.5,
                              beam=1e-60, wbeam=1e-40, maxwpf=32,
-                             bestpathlw=7.5)
+                             bestpathlw=7.5, latbeam=1e-40)
         hyps = search.decode_batch(feats)
         t0 = time.time()
         hyps = search.decode_batch(feats)

@@ -160,7 +160,8 @@ def main():
     search = NgramSearch(lm, d, mdef, tmat, scorer, rcmode=args.rcmode,
                          lexmode=args.lexmode, nlextree=args.nlextree,
                          lw=args.lw, wip=0.5, beam=1e-60, wbeam=args.wbeam,
-                         maxwpf=args.maxwpf, bestpathlw=args.bestpathlw)
+                         maxwpf=args.maxwpf, bestpathlw=args.bestpathlw,
+                         latbeam=1e-40)
     gr = search.graph
     print(f"graph[{gr.rc_mode}]: {gr.n_chan} channels, {gr.n_xs} xs rows "
           f"({gr.n_sing} singleton + {gr.n_xs - gr.n_sing} composite, "

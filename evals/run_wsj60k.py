@@ -178,7 +178,8 @@ def main():
                          lcmode="composite", lexmode=args.lexmode,
                          nlextree=args.nlextree,
                          lw=7.5, wip=0.5, beam=1e-60, wbeam=1e-40,
-                         maxwpf=args.maxwpf, bestpathlw=args.bestpathlw)
+                         maxwpf=args.maxwpf, bestpathlw=args.bestpathlw,
+                         latbeam=1e-40)
     gr = search.graph
     S = gr.n_emit_state
     print(f"graph[{gr.lex_mode}]: {gr.n_chan} channels "

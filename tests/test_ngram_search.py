@@ -224,3 +224,29 @@ def test_composite_batched_decode_matches_single(reference_root):
     for (u, ref), s, b in zip(utts, singles, batched):
         assert b.text == s.text == ref, (u, b.text, s.text, ref)
         assert abs(b.score - s.score) < 1e-3
+
+
+def test_fanout_size_gate(reference_root, monkeypatch):
+    """Fanout graphs above FANOUT_CHAN_LIMIT fail fast with a ValueError
+    naming the composite fallback, instead of reaching (and crashing) the
+    device runtime (VERDICT r4 #5)."""
+    import cmusphinx_tpu.decode.ngram_search as ns
+    R = reference_root / "pocketsphinx"
+    H = R / "model/hmm/en/tidigits"
+    mdef = Mdef.read(str(H / "mdef"))
+    g = read_gauden(str(H / "means"), str(H / "variances"))
+    w, meta = read_sendump(str(H / "sendump"), return_raw=True)
+    tmat = TransitionMatrices.read(str(H / "transition_matrices"))
+    d = Dictionary.read(str(R / "model/lm/en/tidigits.dic"), mdef)
+    lm = NgramModel.read(str(R / "model/lm/en/tidigits.DMP"))
+    cfg = Config(FE_ARGS, FEAT_ARGS)
+    cfg.update_from_file(str(H / "feat.params"))
+    fp = FeatPipeline(cfg)
+    scorer = PsParityScorer(g, w, fp.stream_slices(),
+                            wrap_uint8=meta["n_bits"] == 4)
+    monkeypatch.setattr(ns, "FANOUT_CHAN_LIMIT", 10)
+    with pytest.raises(ValueError, match="composite"):
+        NgramSearch(lm, d, mdef, tmat, scorer, rcmode="fanout")
+    # composite mode is unaffected by the gate
+    s = NgramSearch(lm, d, mdef, tmat, scorer, rcmode="composite")
+    assert s.rc_mode == "composite"
