@@ -72,6 +72,10 @@ DECODER_ARGS = [
     Arg("toprule", str, "", "Start rule for JSGF (first public rule is default)"),
     Arg("varfloor", float, 0.0001, "Mixture gaussian variance floor"),
     Arg("mllr", str, "", "MLLR transform to apply to acoustic model means"),
+    Arg("lambda", str, "",
+        "CD/CI senone interpolation weights file (sphinx3 -lambda, "
+        "libam/interp.c): .npy or one-float-per-line text of per-senone "
+        "lambdas from deleted interpolation"),
     Arg("parity", bool, True,
         "Use the bit-faithful reference senone scorer for sendump models"),
     Arg("topn", int, 4, "Number of top Gaussians to use in scoring"),
@@ -124,6 +128,14 @@ class Decoder:
         self.fe = Frontend(cfg)
         self.fp = FeatPipeline(cfg)
         self.scorer = self._init_scorer(cfg, gauden, model_file)
+        if str(cfg["lambda"]):
+            # Decode-time CD/CI interpolation (sphinx3 interp_all).
+            from .ops.gmm import InterpolatedScorer
+            lpath = str(cfg["lambda"])
+            lam = (np.load(lpath) if lpath.endswith(".npy") else
+                   np.loadtxt(lpath, dtype=np.float32, ndmin=1))
+            self.scorer = InterpolatedScorer(
+                self.scorer, self.mdef.cd2cisen, self.mdef.n_ci_sen, lam)
 
         fdict = model_file("fdict", "noisedict")
         self.dict = Dictionary.read(str(cfg["dict"]) or None, self.mdef,

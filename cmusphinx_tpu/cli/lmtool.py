@@ -9,8 +9,17 @@ Subcommands mirror the reference pipeline programs:
     python -m cmusphinx_tpu.cli.lmtool interpolate -lms a.arpa,b.arpa \
         -weights 0.5,0.5 -lm out.arpa
 
+Fringe format tools (cmuclmtk/src/programs):
+
+    ... lmtool text2wngram -text corpus.txt -o out.wngram [-n 3]
+    ... lmtool ngram2mgram -i in.idngram -o out.idngram -n 3 -m 2
+    ... lmtool idngram2stats -i in.idngram -n 3 [-fof_size 50]
+    ... lmtool binlm2arpa -binary in.DMP -arpa out.arpa
+    ... lmtool arpa2binlm -arpa in.arpa -binary out.DMP
+
 (reference: cmuclmtk text2wfreq/wfreq2vocab/text2idngram/idngram2lm/evallm,
-lm_combine/lm_interpolate; sphinxbase sphinx_lm_convert / sphinx_lm_eval)
+lm_combine/lm_interpolate, ngram2mgram/text2wngram/idngram2stats/
+binlm2arpa/arpa2binlm; sphinxbase sphinx_lm_convert / sphinx_lm_eval)
 """
 
 from __future__ import annotations
@@ -66,6 +75,39 @@ def main(argv=None) -> int:
         ppl, n, oov = m.perplexity(_read_corpus(kv["text"]),
                                    use_unk=kv.get("unk", "no") == "yes")
         print(f"perplexity {ppl:.2f} over {n} words ({oov} OOV)")
+    elif cmd == "text2wngram":
+        from ..lm.idngram import text_to_wngram
+        grams = text_to_wngram(_read_corpus(kv["text"]),
+                               n=int(kv.get("n", 3)),
+                               sent_markers=kv.get("sent_markers",
+                                                   "no") == "yes")
+        with open(kv["o"], "w") as fh:
+            for g, c in grams:
+                fh.write(" ".join(g) + f" {c}\n")
+        print(f"{len(grams)} distinct {kv.get('n', 3)}-grams -> {kv['o']}")
+    elif cmd == "ngram2mgram":
+        from ..lm.idngram import ngram_to_mgram
+        nd = ngram_to_mgram(kv["i"], kv["o"],
+                            n=int(kv["n"]), m=int(kv["m"]))
+        print(f"{kv['i']} ({kv['n']}-grams) -> {kv['o']} "
+              f"({nd} distinct {kv['m']}-grams)")
+    elif cmd == "idngram2stats":
+        from ..lm.idngram import idngram_stats
+        nd, total, fof = idngram_stats(kv["i"], n=int(kv["n"]),
+                                       fof_size=int(kv.get("fof_size", 50)))
+        print(f"{nd} distinct {kv['n']}-grams ({total} total)")
+        print("fof (count : number of n-grams with that count):")
+        for c, k in enumerate(fof, start=1):
+            if k:
+                print(f"{c} : {int(k)}")
+    elif cmd == "binlm2arpa":
+        m = NgramModel.read(kv["binary"])
+        m.write_arpa(kv["arpa"])
+        print(f"{kv['binary']} -> {kv['arpa']} (counts {m.counts()})")
+    elif cmd == "arpa2binlm":
+        m = NgramModel.read(kv["arpa"])
+        m.write_dmp(kv["binary"])
+        print(f"{kv['arpa']} -> {kv['binary']} (counts {m.counts()})")
     elif cmd == "interpolate":
         lms = [NgramModel.read(p) for p in kv["lms"].split(",")]
         ws = [float(x) for x in kv["weights"].split(",")]

@@ -204,3 +204,84 @@ def train_lm_disk(sentences: Iterable[Sequence[str]], vocab: Sequence[str],
                                      tmpdir=tmpdir)
     counts = load_idngram_counts(paths, cutoffs)
     return estimate_lm(counts, words, discount=discount)
+
+
+# ----------------------------------------------------------------------
+# Fringe format tools (cmuclmtk/src/programs/{ngram2mgram,text2wngram,
+# idngram2stats}.c capability).
+
+def ngram_to_mgram(in_path: str, out_path: str, n: int, m: int) -> int:
+    """Truncate a sorted id-n-gram file to its first-m-id prefixes, summing
+    counts of grams sharing a prefix (ngram2mgram.c).  The input's
+    lexicographic order makes equal prefixes adjacent, so this streams in
+    O(1) memory.  Returns the number of distinct m-grams written."""
+    if not 1 <= m < n:
+        raise ValueError(f"need 1 <= m < n, got n={n} m={m}")
+    dt = _rec_dtype(m)
+    ndistinct = 0
+    with open(out_path, "wb") as fh:
+        cur: Optional[Tuple[int, ...]] = None
+        cnt = 0
+        buf: List[bytes] = []
+
+        def flush_rec(g, c):
+            nonlocal ndistinct
+            rec = np.zeros(1, dtype=dt)
+            rec[0]["ids"] = g
+            rec[0]["count"] = c
+            buf.append(rec.tobytes())
+            ndistinct += 1
+            if len(buf) >= 4096:
+                fh.write(b"".join(buf))
+                buf.clear()
+
+        for g, c in read_idngram(in_path, n):
+            p = g[:m]
+            if p == cur:
+                cnt += c
+            else:
+                if cur is not None:
+                    flush_rec(cur, cnt)
+                cur, cnt = p, c
+        if cur is not None:
+            flush_rec(cur, cnt)
+        fh.write(b"".join(buf))
+    return ndistinct
+
+
+def text_to_wngram(sentences: Iterable[Sequence[str]], n: int = 3,
+                   sent_markers: bool = False
+                   ) -> List[Tuple[Tuple[str, ...], int]]:
+    """Count word n-grams of a text stream and return them sorted
+    alphabetically with counts (text2wngram.c output contract:
+    `w1 ... wn count` lines in sorted order).  text2wngram treats the
+    input as a flat word stream; sent_markers=True adds <s>/</s> per
+    sentence (the pipeline's -sent_markers convention)."""
+    counts: Dict[Tuple[str, ...], int] = {}
+    stream: List[str] = []
+    for sent in sentences:
+        if sent_markers:
+            stream.append(BOS)
+        stream.extend(sent)
+        if sent_markers:
+            stream.append(EOS)
+    for i in range(len(stream) - n + 1):
+        g = tuple(stream[i : i + n])
+        counts[g] = counts.get(g, 0) + 1
+    return sorted(counts.items())
+
+
+def idngram_stats(path: str, n: int, fof_size: int = 50
+                  ) -> Tuple[int, int, np.ndarray]:
+    """Frequency-of-frequency statistics of an idngram file
+    (idngram2stats.c): returns (n_distinct, total_count, fof) where
+    fof[c-1] = number of n-grams occurring exactly c times, c=1..fof_size."""
+    fof = np.zeros(fof_size, np.int64)
+    n_distinct = 0
+    total = 0
+    for _, c in read_idngram(path, n):
+        n_distinct += 1
+        total += c
+        if 1 <= c <= fof_size:
+            fof[c - 1] += 1
+    return n_distinct, total, fof

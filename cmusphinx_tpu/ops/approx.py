@@ -150,3 +150,113 @@ class GsSelectorScorer:
 
     def __call__(self, feats):
         return self.score(feats)
+
+
+class KdTreeSelectorScorer:
+    """Bucket-Box-Intersection kd-tree Gaussian shortlists (sphinx3
+    libs3decoder/libam/kdtree.c:1-294, implementing Fritsch & Rogina's
+    BBI algorithm, ICASSP 1996): a kd-tree partitions feature space into
+    2^depth buckets; each Gaussian owns a box (mean +/- radius*stddev,
+    the region where its density is within the BBI threshold of its
+    peak), and a bucket's shortlist is every Gaussian whose box
+    intersects the bucket.  At eval a frame descends the tree by `depth`
+    scalar comparisons and only its bucket's shortlist is scored.
+
+    Dense-masked TPU formulation, like the rest of this family: the full
+    density GEMM is computed (masking saves nothing on the MXU), the
+    descent is `depth` vectorized compares, and non-shortlisted Gaussians
+    are floored — measuring the trick's accuracy cost at its reference
+    semantics so EVALS.md can record the keep/reject verdict.
+
+    scorer: a ContinuousScorer (single-stream).  depth: tree depth
+    (2^depth buckets; reference -kdmaxdepth).  radius: box half-width in
+    stddevs (the BBI threshold knob).  maxbbi caps a bucket's shortlist
+    by box-volume overlap (reference -kdmaxbbi).
+    """
+
+    def __init__(self, scorer, gauden, depth: int = 6, radius: float = 3.0,
+                 maxbbi: int = 0, floor: float = -40.0):
+        self.inner = scorer
+        self.n_sen = scorer.n_sen
+        S, K = gauden.n_mgau, gauden.n_density
+        D = int(gauden.veclen[0])
+        M = gauden.means[:, 0, :, :D].reshape(S * K, D).astype(np.float64)
+        SD = np.sqrt(gauden.var[:, 0, :, :D].reshape(S * K, D)
+                     .astype(np.float64))
+        box_lo = M - radius * SD
+        box_hi = M + radius * SD
+        n_nodes = 1 << depth               # heap-indexed internal nodes 1..
+        n_leaves = 1 << depth
+        node_dim = np.zeros(2 * n_nodes, np.int32)
+        node_thr = np.zeros(2 * n_nodes, np.float32)
+        leaf_keep = np.zeros((n_leaves, S * K), bool)
+
+        def build(node: int, lo: np.ndarray, hi: np.ndarray, level: int,
+                  cand: np.ndarray) -> None:
+            if level == depth:
+                leaf = node - n_nodes
+                # Bucket-box intersection over the candidate set.
+                inter = cand
+                if maxbbi and inter.sum() > maxbbi:
+                    # Keep the maxbbi Gaussians with the largest overlap
+                    # volume fraction inside this bucket (read_bbi_list's
+                    # maxbbi truncation semantics).
+                    ov_lo = np.maximum(box_lo, lo[None])
+                    ov_hi = np.minimum(box_hi, hi[None])
+                    frac = np.where(
+                        inter[:, None],
+                        np.clip(ov_hi - ov_lo, 1e-10, None)
+                        / np.clip(box_hi - box_lo, 1e-10, None), 0.0)
+                    vol = np.sum(np.log(np.clip(frac, 1e-10, None)), 1)
+                    vol = np.where(inter, vol, -np.inf)
+                    keep_idx = np.argsort(vol, kind="stable")[-maxbbi:]
+                    capped = np.zeros_like(inter)
+                    capped[keep_idx] = inter[keep_idx]
+                    inter = capped
+                leaf_keep[leaf] = inter
+                return
+            # Split the dimension with the largest candidate-mean spread,
+            # at the candidate median (the projection-search capability of
+            # the reference builder, simplified to the median heuristic).
+            cm = M[cand] if cand.any() else M
+            dim = int(np.argmax(cm.max(0) - cm.min(0)))
+            thr = float(np.median(cm[:, dim]))
+            node_dim[node] = dim
+            node_thr[node] = thr
+            lhi = hi.copy(); lhi[dim] = min(hi[dim], thr)
+            rlo = lo.copy(); rlo[dim] = max(lo[dim], thr)
+            lcand = cand & (box_lo[:, dim] <= lhi[dim])
+            rcand = cand & (box_hi[:, dim] >= rlo[dim])
+            build(2 * node, lo, lhi, level + 1, lcand)
+            build(2 * node + 1, rlo, hi, level + 1, rcand)
+
+        INF = np.full(D, np.inf)
+        build(1, -INF, INF, 0, np.ones(S * K, bool))
+        self.depth = int(depth)
+        self._node_dim = jnp.asarray(node_dim)
+        self._node_thr = jnp.asarray(node_thr)
+        self._leaf_keep = jnp.asarray(leaf_keep.reshape(n_leaves, S, K))
+        self._n_nodes = n_nodes
+        self.floor = float(floor)
+        self._S, self._K, self._D = S, K, D
+
+    def score(self, feats):
+        x = feats[:, : self._D]
+        # Vectorized descent: heap index doubles per level.
+        idx = jnp.ones(x.shape[0], jnp.int32)
+        for _ in range(self.depth):
+            go = x[jnp.arange(x.shape[0]), self._node_dim[idx]] \
+                 > self._node_thr[idx]
+            idx = 2 * idx + go.astype(jnp.int32)
+        leaf = idx - self._n_nodes
+        keep = self._leaf_keep[leaf]                         # [T, S, K]
+        ll = (self.inner.const[None, :]
+              + jnp.dot(feats, self.inner.lin)
+              - jnp.dot(feats * feats, self.inner.quad)
+              ).reshape(feats.shape[0], self._S, self._K)
+        best = jnp.max(ll, axis=(1, 2), keepdims=True)
+        ll = jnp.where(keep, ll, best + self.floor)
+        return jax.nn.logsumexp(ll, axis=-1)
+
+    def __call__(self, feats):
+        return self.score(feats)

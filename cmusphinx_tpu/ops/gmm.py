@@ -376,3 +376,41 @@ def naive_semi_scores(feats, gauden: GaussianParams, ln_mixw, stream_slices):
         mx = ll.max(axis=1, keepdims=True)
         out += (np.log(np.exp(ll - mx).sum(axis=1)) + mx[:, 0]).astype(np.float64)
     return out
+
+
+class InterpolatedScorer:
+    """Decode-time CD/CI senone interpolation (sphinx3
+    libs3decoder/libam/interp.c:179-196 interp_all): every CD senone's
+    score becomes
+
+        logadd(score[cd] + log(lambda[cd]), score[ci(cd)] + log(1-lambda[cd]))
+
+    with per-senone weights lambda (estimated by deleted interpolation,
+    train/transform.py deleted_interpolation / the delint program).  CI
+    senones pass through unchanged.  One vectorized logaddexp over the
+    [T, S] score matrix — the reference's per-senone loop disappears.
+
+    scorer: any senone scorer; cd2cisen [S]: parent CI senone per senone
+    (mdef.cd2cisen); lam: scalar or [S] interpolation weights.
+    """
+
+    def __init__(self, scorer, cd2cisen: np.ndarray, n_ci_sen: int,
+                 lam):
+        self.inner = scorer
+        self.n_sen = scorer.n_sen
+        lam = np.broadcast_to(np.asarray(lam, np.float32),
+                              (self.n_sen,)).copy()
+        lam = np.clip(lam, 1e-6, 1.0 - 1e-6)
+        self._log_cd = jnp.asarray(np.log(lam))
+        self._log_ci = jnp.asarray(np.log1p(-lam))
+        self._ci = jnp.asarray(np.asarray(cd2cisen, np.int32))
+        self._is_cd = jnp.asarray(np.arange(self.n_sen) >= int(n_ci_sen))
+
+    def score(self, feats):
+        s = self.inner.score(feats)
+        mixed = jnp.logaddexp(s + self._log_cd[None],
+                              s[:, self._ci] + self._log_ci[None])
+        return jnp.where(self._is_cd[None], mixed, s)
+
+    def __call__(self, feats):
+        return self.score(feats)

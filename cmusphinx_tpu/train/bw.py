@@ -156,8 +156,21 @@ def _dense_trans(batch_row, log_tp, Smax):
     return M
 
 
+def phseg_to_frames(phsegs, T: int, phone_id: Dict[str, int]) -> np.ndarray:
+    """Rasterize a phone segmentation (decode/align.py PhoneSeg list, the
+    -phsegdir artifact) into a per-frame phone-id vector for the
+    phseg-constrained forward-backward below.  Frames not covered by any
+    segment get -1 (unconstrained)."""
+    out = np.full(T, -1, np.int32)
+    for seg in phsegs:
+        pid = phone_id.get(seg.phone, -1)
+        if pid >= 0:
+            out[seg.start_frame : seg.end_frame + 1] = pid
+    return out
+
+
 def forward_backward(batch: UttBatch, means, prec, lnw, log_tp,
-                     weights=None):
+                     weights=None, phseg=None):
     """One EM pass over a padded utterance batch.
 
     Returns (total log-likelihood [B], accumulators dict).
@@ -166,18 +179,30 @@ def forward_backward(batch: UttBatch, means, prec, lnw, log_tp,
     `weights` [B] optionally scales each utterance's contribution to the
     accumulators (used for lattice-posterior-weighted MMIE denominator
     statistics, SphinxTrain bw -mmie capability).
+
+    `phseg` [B, Tmax] optionally constrains the state space per frame to
+    states whose phone matches the given segmentation (the reference's
+    -phsegdir gating, bw/forward.c:223-224 can_prune_phseg): a state is
+    active at frame t only when phseg[b, t] < 0 (unconstrained) or equals
+    the state's `state_phone` id.  Ids must live in the same space the
+    sentence HMM was built with (`phseg_to_frames` maps PhoneSeg names).
     """
     B, Tmax, D = batch.feats.shape
     Smax = batch.state_sen.shape[1]
     n_sen, K, _ = means.shape
     n_tmat = log_tp.shape[0]
     nst = log_tp.shape[1]
+    if phseg is None:
+        phseg = np.full((B, Tmax), -1, np.int32)
 
     def one_utt(feats, T, state_sen, smask, entry_lp, erow, frow,
-                state_phone):
+                state_phone, phseg_row):
         comp, total = gmm_logliks(feats, means, prec, lnw)  # [T,n_sen,K]
         ll = total[:, state_sen]                             # [T, S]
         ll = jnp.where(smask[None], ll, NEG)
+        allowed = ((phseg_row[:, None] < 0)
+                   | (state_phone[None, :] == phseg_row[:, None]))
+        ll = jnp.where(allowed, ll, NEG)
         M = _dense_trans(erow, log_tp, Smax)                 # [S, S]
         tmask = jnp.arange(Tmax) < T
 
@@ -256,7 +281,7 @@ def forward_backward(batch: UttBatch, means, prec, lnw, log_tp,
         jnp.asarray(batch.entry_lp),
         tuple(jnp.asarray(a) for a in erows),
         tuple(jnp.asarray(a) for a in frows),
-        jnp.asarray(batch.state_phone))
+        jnp.asarray(batch.state_phone), jnp.asarray(phseg))
     if weights is not None:
         w = jnp.asarray(weights, jnp.float32)
         mixw = mixw * w[:, None, None]

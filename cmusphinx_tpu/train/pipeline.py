@@ -12,6 +12,11 @@ with the smallest Gaussian log-likelihood loss until a senone budget or
 loss threshold is hit — same capability as bldtree/prunetree/tiestate's
 decision trees (the reference clusters with entropy of discrete pdfs;
 unseen-triphone generalization via trees is a follow-up).
+
+The VTLN stage (12.vtln_align) lives in train/vtln.py and is re-exported
+here: run `estimate_vtln_per_speaker` over raw audio + transcripts with an
+aligner on the current model, then retrain with each speaker's features
+computed at their warp (`warp_params` in the frontend config).
 """
 
 from __future__ import annotations
@@ -27,6 +32,7 @@ import jax.numpy as jnp
 from .bw import forward_backward, pack_batch
 from .sentence_hmm import FlatModel
 from .trainer import HmmParams, Trainer, VAR_FLOOR, reestimate
+from .vtln import estimate_vtln, estimate_vtln_per_speaker  # noqa: F401 (stage 12)
 
 
 # ----------------------------------------------------------------------

@@ -68,6 +68,13 @@ def main():
     except Exception as e:
         print(f"(gs variant skipped: {e})")
     try:
+        from cmusphinx_tpu.ops.approx import KdTreeSelectorScorer
+        variants.append(("kdtree BBI (depth 6, r=3.0)",
+                         KdTreeSelectorScorer(dense, g, depth=6,
+                                              radius=3.0)))
+    except Exception as e:
+        print(f"(kdtree variant skipped: {e})")
+    try:
         from cmusphinx_tpu.ops.subvq import SubVQScorer, build_subvq
         svq = build_subvq(g, n_sv=3, vqsize=64, n_iter=10, n_restarts=1)
         variants.append(("subvq approx (3x64)", SubVQScorer(svq, lnw)))

@@ -95,3 +95,88 @@ def test_gs_selector_shortlist_semantics():
     out = np.asarray(gs1.score(x))
     ref = np.asarray(dense.score(x))
     assert np.all(out <= ref + 1e-4)   # flooring only removes mass
+
+
+def test_kdtree_selector_semantics():
+    """BBI kd-tree shortlists (kdtree.c capability): with a huge box
+    radius every Gaussian's box intersects every bucket and the scorer
+    matches dense exactly; with a tight radius flooring only removes
+    mass; maxbbi bounds every bucket's shortlist."""
+    import jax.numpy as jnp
+    from cmusphinx_tpu.models.gauden import GaussianParams
+    from cmusphinx_tpu.ops.approx import KdTreeSelectorScorer
+    from cmusphinx_tpu.ops.gmm import ContinuousScorer
+    rng = np.random.RandomState(1)
+    S, K, D = 10, 4, 5
+    means = (4.0 * rng.randn(S, 1, K, D)).astype(np.float32)
+    var = (0.5 + rng.rand(S, 1, K, D)).astype(np.float32)
+    prec = 1.0 / (2.0 * var)
+    lrd = -0.5 * (np.log(var).sum(-1) + D * np.log(2 * np.pi)).astype(
+        np.float32)
+    gp = GaussianParams(means=means, var=var, prec=prec, lrd=lrd,
+                        veclen=[D], n_mgau=S, n_feat=1, n_density=K)
+    lw = np.log(np.full((S, K), 1.0 / K, np.float32))
+    dense = ContinuousScorer(gp, lw, use_pallas=False)
+    x = jnp.asarray(rng.randn(30, D).astype(np.float32))
+
+    kd_all = KdTreeSelectorScorer(dense, gp, depth=3, radius=1e6)
+    np.testing.assert_allclose(np.asarray(kd_all.score(x)),
+                               np.asarray(dense.score(x)),
+                               rtol=1e-5, atol=1e-4)
+    kd = KdTreeSelectorScorer(dense, gp, depth=3, radius=1.5)
+    out = np.asarray(kd.score(x))
+    ref = np.asarray(dense.score(x))
+    assert np.all(out <= ref + 1e-4)
+    assert np.any(np.asarray(kd._leaf_keep).sum(axis=(1, 2))
+                  < S * K)  # tight boxes actually prune
+    kd_cap = KdTreeSelectorScorer(dense, gp, depth=3, radius=1e6, maxbbi=7)
+    assert np.all(np.asarray(kd_cap._leaf_keep).sum(axis=(1, 2)) <= 7)
+
+
+def test_interpolated_scorer():
+    """Decode-time CD/CI interpolation (interp.c interp_all): CD scores
+    become logadd(cd+log(lam), ci+log(1-lam)); CI rows unchanged; lam=1
+    is the identity."""
+    import jax.numpy as jnp
+    from cmusphinx_tpu.ops.gmm import InterpolatedScorer
+    #           ci0  ci1  cd0(->ci0)  cd1(->ci1)
+    s = np.array([[0.0, -2.0, -1.0, -4.0],
+                  [-1.0, 0.0, -3.0, -0.5]], np.float32)
+    cd2ci = np.array([0, 1, 0, 1], np.int32)
+    sc = InterpolatedScorer(_ToyScorer(s), cd2ci, n_ci_sen=2, lam=0.7)
+    out = np.asarray(sc.score(jnp.zeros((2, 3))))
+    np.testing.assert_allclose(out[:, :2], s[:, :2], atol=1e-6)
+    want = np.logaddexp(s[:, 2:] + np.log(0.7),
+                        s[:, [0, 1]] + np.log(0.3))
+    np.testing.assert_allclose(out[:, 2:], want, atol=1e-5)
+    # lam ~ 1: identity (within the clipping epsilon)
+    sc1 = InterpolatedScorer(_ToyScorer(s), cd2ci, n_ci_sen=2, lam=1.0)
+    np.testing.assert_allclose(np.asarray(sc1.score(jnp.zeros((2, 3)))),
+                               s, atol=1e-4)
+    # per-senone lambda vector accepted
+    lam = np.array([0.5, 0.5, 0.9, 0.1], np.float32)
+    scv = InterpolatedScorer(_ToyScorer(s), cd2ci, n_ci_sen=2, lam=lam)
+    outv = np.asarray(scv.score(jnp.zeros((2, 3))))
+    wantv = np.logaddexp(s[:, 2:] + np.log(lam[2:]),
+                         s[:, [0, 1]] + np.log(1 - lam[2:]))
+    np.testing.assert_allclose(outv[:, 2:], wantv, atol=1e-5)
+
+
+def test_decoder_lambda_flag(tmp_path, reference_root):
+    """-lambda wires InterpolatedScorer into the Decoder; a near-1 lambda
+    leaves the tidigits hypothesis intact."""
+    from cmusphinx_tpu.api import Decoder
+    from cmusphinx_tpu.ops.gmm import InterpolatedScorer
+    R = reference_root / "pocketsphinx"
+    import cmusphinx_tpu.models.mdef as _m
+    mdef = _m.Mdef.read(str(R / "model/hmm/en/tidigits/mdef"))
+    lam = np.full(mdef.n_sen, 0.999, np.float32)
+    lpath = tmp_path / "lambda.npy"
+    np.save(lpath, lam)
+    d = Decoder(hmm=str(R / "model/hmm/en/tidigits"),
+                lm=str(R / "model/lm/en/tidigits.DMP"),
+                dict=str(R / "model/lm/en/tidigits.dic"),
+                **{"lambda": str(lpath)})
+    assert isinstance(d.scorer, InterpolatedScorer)
+    h = d.decode_cep_file(str(R / "test/data/tidigits/man.ah.111a.mfc"))
+    assert h.text == "ONE ONE ONE"

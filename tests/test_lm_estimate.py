@@ -163,3 +163,59 @@ def test_heldout_perplexity_regression(tmp_path):
                        n=3, discount="good_turing", max_ram_ngrams=300,
                        tmpdir=str(tmp_path))
     assert abs(m2.perplexity(held)[0] - ppl_held) < 1e-6 * max(ppl_held, 1)
+
+
+def test_fringe_format_tools(tmp_path, capsys):
+    """cmuclmtk fringe tools: ngram2mgram / text2wngram / idngram2stats /
+    binlm2arpa (VERDICT r4 #8, SURVEY row 79)."""
+    import numpy as np
+    from cmusphinx_tpu.lm.idngram import (idngram_stats, ngram_to_mgram,
+                                          read_idngram, text_to_wngram,
+                                          write_idngram)
+
+    # ngram2mgram: truncate sorted trigram counts to bigrams, summing.
+    tri = {(0, 1, 2): 3, (0, 1, 4): 2, (1, 2, 2): 1, (2, 0, 1): 5}
+    p3 = tmp_path / "c.3.idngram"
+    p2 = tmp_path / "c.2.idngram"
+    write_idngram(str(p3), tri, 3)
+    nd = ngram_to_mgram(str(p3), str(p2), n=3, m=2)
+    got = dict(read_idngram(str(p2), 2))
+    assert nd == 3
+    assert got == {(0, 1): 5, (1, 2): 1, (2, 0): 5}
+
+    # text2wngram: flat word-stream n-grams, sorted with counts.
+    sents = [["a", "b", "a"], ["b", "a", "b"]]
+    grams = text_to_wngram(sents, n=2)
+    assert grams == [(("a", "b"), 3), (("b", "a"), 2)]
+
+    # idngram2stats: frequency-of-frequencies.
+    ndist, total, fof = idngram_stats(str(p3), 3)
+    assert (ndist, total) == (4, 11)
+    assert fof[0] == 1 and fof[1] == 1 and fof[2] == 1 and fof[4] == 1
+
+    # CLI surface: each subcommand runs and reports.
+    from cmusphinx_tpu.cli.lmtool import main
+    text = tmp_path / "corpus.txt"
+    text.write_text("a b a\nb a b\n")
+    wng = tmp_path / "o.wngram"
+    assert main(["text2wngram", "-text", str(text), "-o", str(wng),
+                 "-n", "2"]) == 0
+    assert wng.read_text() == "a b 3\nb a 2\n"
+    assert main(["ngram2mgram", "-i", str(p3), "-o", str(tmp_path / "x"),
+                 "-n", "3", "-m", "2"]) == 0
+    assert main(["idngram2stats", "-i", str(p3), "-n", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "4 distinct 3-grams (11 total)" in out
+
+    # binlm2arpa / arpa2binlm round trip through the DMP format.
+    arpa = tmp_path / "toy.arpa"
+    lm = train_lm([["a", "b", "a"], ["b", "a", "b"]], n=2)
+    lm.write_arpa(str(arpa))
+    dmp = tmp_path / "toy.DMP"
+    assert main(["arpa2binlm", "-arpa", str(arpa), "-binary", str(dmp)]) == 0
+    arpa2 = tmp_path / "back.arpa"
+    assert main(["binlm2arpa", "-binary", str(dmp), "-arpa",
+                 str(arpa2)]) == 0
+    from cmusphinx_tpu.models.ngram import NgramModel
+    m2 = NgramModel.read(str(arpa2))
+    assert m2.counts() == lm.counts()

@@ -165,3 +165,50 @@ def test_split_gaussians():
     assert tr.params.means.shape[1] == 2
     ll2 = [tr.em_step() for _ in range(3)][-1]
     assert ll2 >= ll1 - 0.05
+
+
+def test_phseg_constrained_bw():
+    """-phsegdir gating (bw/forward.c:223-224 can_prune_phseg): an all-(-1)
+    phseg is exactly unconstrained; a real segmentation constrains the
+    posterior mass to matching states and can only lower the likelihood;
+    rasterization helper covers PhoneSeg lists."""
+    import jax.numpy as jnp
+    from cmusphinx_tpu.train.bw import phseg_to_frames
+    model, feats, trans = _toy_corpus(n_utt=2)
+    tr = Trainer(model, PRON, trans, feats, K=2)
+    batch = tr.batch
+    params = tr.params
+    args = (jnp.asarray(params.means), jnp.asarray(params.prec),
+            jnp.asarray(params.lnw), jnp.asarray(params.log_tp))
+    llh0, acc0 = forward_backward(batch, *args)
+
+    # all -1 == unconstrained, bit-for-bit
+    B, Tmax = batch.feats.shape[:2]
+    free = np.full((B, Tmax), -1, np.int32)
+    llh1, acc1 = forward_backward(batch, *args, phseg=free)
+    np.testing.assert_array_equal(np.asarray(llh0), np.asarray(llh1))
+    np.testing.assert_array_equal(np.asarray(acc0["mixw"]),
+                                  np.asarray(acc1["mixw"]))
+
+    # constrain to the Viterbi alignment's own phone sequence: valid paths
+    # remain, llh can only drop (fewer paths), and it stays finite.
+    _, states = viterbi_align(batch, *args)
+    states = np.asarray(states)
+    seg = np.full((B, Tmax), -1, np.int32)
+    for b in range(B):
+        T = int(batch.T[b])
+        seg[b, :T] = batch.state_phone[b][states[b, :T]]
+    llh2, acc2 = forward_backward(batch, *args, phseg=seg)
+    assert np.all(np.asarray(llh2) <= np.asarray(llh0) + 1e-4)
+    assert np.all(np.isfinite(np.asarray(llh2)))
+
+    # an impossible constraint (phone id 99 everywhere) kills all paths
+    bad = np.full((B, Tmax), 99, np.int32)
+    llh3, _ = forward_backward(batch, *args, phseg=bad)
+    assert np.all(np.asarray(llh3) < -1e29)
+
+    # rasterizer
+    from cmusphinx_tpu.decode.align import PhoneSeg
+    segs = [PhoneSeg("A", 0, 2, "ab", 0), PhoneSeg("B", 3, 5, "ab", 0)]
+    v = phseg_to_frames(segs, 8, {"A": 1, "B": 2})
+    np.testing.assert_array_equal(v, [1, 1, 1, 2, 2, 2, -1, -1])
