@@ -207,3 +207,34 @@ def test_tree_streaming_matches_batch(tidigits_parts):
             s.stream_push(st, feats[j : j + 37])
         got = s.stream_end(st).text
         assert got == want, (i, got, want)
+
+
+def test_bigram_lookahead_exact_cancellation(tidigits_parts):
+    """The per-history bigram lookahead smear (treela='bg') is an in-tree
+    ranking aid that cancels EXACTLY at the exit readout: with pruning off
+    and the shortlist covering the whole vocabulary, hypotheses and path
+    scores match the unigram-smear decode bit-for-bit."""
+    p = tidigits_parts
+    kw = dict(lexmode="tree", rcmode="composite", lcmode="composite",
+              prune=False)
+    s_bg = _mk_search(p, treela="bg", **kw)
+    s_ug = _mk_search(p, treela="ug", **kw)
+    assert s_bg.use_bgla and not s_ug.use_bgla
+    for f in p["feats"][:4]:
+        h_bg = s_bg.decode(f)
+        h_ug = s_ug.decode(f)
+        assert h_bg.text == h_ug.text
+        assert h_bg.score == pytest.approx(h_ug.score, abs=1e-3)
+
+
+def test_bigram_lookahead_batched_matches_single(tidigits_parts):
+    """Batched tree decode with the bigram smear == single-utterance."""
+    p = tidigits_parts
+    kw = dict(lexmode="tree", rcmode="composite", lcmode="composite",
+              treela="bg")
+    s = _mk_search(p, **kw)
+    assert s.use_bgla
+    singles = [s.decode(f).text for f in p["feats"][:6]]
+    s2 = _mk_search(p, **kw)
+    batched = [h.text for h in s2.decode_batch(p["feats"][:6])]
+    assert batched == singles
