@@ -85,11 +85,22 @@ def main():
     dt = sorted(dts)[len(dts) // 2]
     xrt = audio_s / dt
 
+    # Model-FLOP MFU of the headline run (PERF.md §10): the senone GEMMs
+    # are the decode's model math; this task is latency-bound, so the
+    # number is honestly tiny — see evals/mfu_report.py for the
+    # FLOP-rich stages.
+    from cmusphinx_tpu.utils import mfu as _mfu
+    veclens = [len(sl) for sl in fp.stream_slices()]
+    Tpad = -(-max(len(c) for c in ceps) // search.FRAME_BUCKET) \
+        * search.FRAME_BUCKET
+    flops = _mfu.psparity_flops(len(ceps) * Tpad, g.n_feat, g.n_density,
+                                veclens, scorer.n_sen, 4)
     print(json.dumps({
         "metric": "tidigits_batch_decode_throughput",
         "value": round(xrt, 2),
         "unit": "audio_seconds_per_second (xRT)",
         "vs_baseline": round(xrt / 500.0, 4),
+        "mfu_bf16_peak": round(flops / dt / _mfu.V5E_PEAK_BF16, 6),
     }))
 
 

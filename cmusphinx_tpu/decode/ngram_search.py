@@ -592,6 +592,12 @@ class NgramSearch:
         root_of_word = rid[cur]
         assert (root_of_word >= 0).all(), "word path must start at a root"
         self._n_roots = R
+        # Lane-padded root count: the corr side-table lives FLAT in the
+        # scan carry ([.., T*Rp]) so per-frame row writes are in-place
+        # dynamic-update-slices; with R not a multiple of the 128-lane
+        # tile, a [T, R] layout forces a physical copy of the whole table
+        # at every flat reshape (profiled at ~2 ms/frame at 123k words).
+        self._n_roots_pad = -(-R // 128) * 128
         self._roots_np = roots_idx
         self._roots_j = jnp.asarray(roots_idx.astype(np.int32))
         self._root_of_word_j = jnp.asarray(root_of_word.astype(np.int32))
@@ -650,7 +656,9 @@ class NgramSearch:
         self._bgla_maxrow = int(np.diff(rowptr).max()) if len(keys) else 0
         self._bgla_base_j = jnp.asarray(
             (lww * np.asarray(lm.ug_bo, np.float32)).astype(np.float32))
-        self._has_word_j = jnp.asarray(has_word)
+        hw_pad = np.zeros(self._n_roots_pad, bool)
+        hw_pad[:R] = has_word
+        self._has_word_pad_j = jnp.asarray(hw_pad)
         # <s> row for utterance-initial entries (host-evaluated).
         corr0 = np.full(R, 0.0, np.float32)
         if self.start_lmwid >= 0:
@@ -665,15 +673,15 @@ class NgramSearch:
         self._corr0_j = jnp.asarray(corr0)
 
     def _bgla_rows(self, h):
-        """corr rows for history words h [L] -> [L, R] f32: the dense
-        backoff base lw*bo(h) overlaid with the CSR excess entries via an
-        R-bounded scatter-max; 0 for h < 0 (no context: bg == ug) and for
-        roots without LM words."""
-        R = self._n_roots
+        """corr rows for history words h [L] -> [L, Rp] f32 (lane-padded;
+        pad columns are 0): the dense backoff base lw*bo(h) overlaid with
+        the CSR excess entries via an R-bounded scatter-max; 0 for h < 0
+        (no context: bg == ug) and for roots without LM words."""
+        Rp = self._n_roots_pad
         L = h.shape[0]
         hc = jnp.maximum(h, 0)
         base = self._bgla_base_j[hc]                         # [L]
-        corr = jnp.broadcast_to(base[:, None], (L, R + 1))
+        corr = jnp.broadcast_to(base[:, None], (L, Rp + 1))
         if self._bgla_maxrow:
             lo = self._bgla_ptr[hc]
             hi = self._bgla_ptr[hc + 1]
@@ -681,12 +689,12 @@ class NgramSearch:
             pos = lo[:, None] + k
             okk = pos < hi[:, None]
             idx = jnp.minimum(pos, self._bgla_root.shape[0] - 1)
-            r = jnp.where(okk, self._bgla_root[idx], R)
+            r = jnp.where(okk, self._bgla_root[idx], Rp)
             val = self._bgla_val[idx]
             rowsel = jnp.arange(L, dtype=jnp.int32)[:, None]
             corr = corr.at[rowsel, r].max(jnp.where(okk, val, NEG_INF))
-        corr = corr[:, :R]
-        corr = jnp.where(self._has_word_j[None] & (h[:, None] >= 0),
+        corr = corr[:, :Rp]
+        corr = jnp.where(self._has_word_pad_j[None] & (h[:, None] >= 0),
                          corr, 0.0)
         return corr
 
@@ -709,9 +717,13 @@ class NgramSearch:
 
         ht = jnp.full((n_frames * self.E, 2), -1, jnp.int32)
         # per-(frame, copy) bigram-lookahead corrections applied at entry
-        # (read back for exact cancellation at the exit readout)
-        ct = jnp.zeros((n_frames * N, self._n_roots if self.use_bgla else 1),
-                       jnp.float32)
+        # (read back for exact cancellation at the exit readout).  FLAT
+        # 1-D with lane-padded row stride so the per-frame row write is an
+        # in-place dynamic-update-slice and the point reads need no
+        # layout-changing reshape.
+        ct = jnp.zeros(
+            (n_frames * N * (self._n_roots_pad if self.use_bgla else 1),),
+            jnp.float32)
         return (exp(a, jnp.float32(NEG_INF)), exp(h, -1), ht, ct)
 
     def _make_core_tree(self):
@@ -813,8 +825,7 @@ class NgramSearch:
                 te2 = jnp.maximum(pe2, 0) // E
                 n2 = (nsel[wsel2] if nsel is not None
                       else jnp.zeros_like(wsel2))
-                cu = ct0.reshape(-1)[
-                    (te2 * N + n2) * self._n_roots + rw2]
+                cu = ct0[(te2 * N + n2) * self._n_roots_pad + rw2]
                 cu = jnp.where(pe2 < 0, self._corr0_j[rw2], cu)
             else:
                 cu = jnp.float32(0.0)
@@ -869,14 +880,16 @@ class NgramSearch:
                 # per-re-entry-history bigram corr at the roots (a static
                 # R-element scatter per copy — measured free vs the
                 # elementwise baseline) + side-table row for cancellation
-                corr = self._bgla_rows(jnp.stack(hsels))     # [N, R]
-                # valid-mask the VALUES (not the whole [T*N, R] carry —
-                # that where was a full-table rewrite per frame); rows of
-                # invalid frames are never referenced (nothing enters)
+                corr = self._bgla_rows(jnp.stack(hsels))     # [N, Rp]
+                # valid-mask the VALUES (not the whole carry — that where
+                # was a full-table rewrite per frame); rows of invalid
+                # frames are never referenced (nothing enters)
                 ct = jax.lax.dynamic_update_slice(
-                    ct0, jnp.where(valid, corr, 0.0), (t * N, 0))
+                    ct0, jnp.where(valid, corr, 0.0).reshape(-1),
+                    (t * N * self._n_roots_pad,))
                 entry_base = entry_base + jnp.zeros(
-                    (N, C), jnp.float32).at[:, self._roots_j].set(corr)
+                    (N, C), jnp.float32).at[:, self._roots_j].set(
+                        corr[:, : self._n_roots])
             else:
                 ct = ct0
             entry_c = jnp.where(ie, entry_base, prop)
@@ -985,8 +998,7 @@ class NgramSearch:
                 rw2 = self._root_of_word_j[wsel2]            # [B, E2]
                 te2 = jnp.maximum(pe2, 0) // E
                 cu = jnp.take_along_axis(
-                    ct0.reshape(ct0.shape[0], -1),
-                    te2 * self._n_roots + rw2, axis=1)
+                    ct0, te2 * self._n_roots_pad + rw2, axis=1)
                 cu = jnp.where(pe2 < 0, self._corr0_j[rw2], cu)
             else:
                 cu = jnp.float32(0.0)
@@ -1029,16 +1041,16 @@ class NgramSearch:
             ie = self._is_entry[None, :]
             entry_base = ent[:, None] + self._la_entry_c[None, :]
             if self.use_bgla:
-                corr = self._bgla_rows(h2[:, 0])                  # [B, R]
-                # value-masked update; the full-carry where was a 36 MB
-                # rewrite per frame at 123k words
+                corr = self._bgla_rows(h2[:, 0])                  # [B, Rp]
+                # value-masked in-place row write into the flat carry
                 ct = jax.lax.dynamic_update_slice(
-                    ct0, jnp.where(validb[:, None], corr, 0.0)[:, None],
-                    (0, t, 0))
+                    ct0, jnp.where(validb[:, None], corr, 0.0),
+                    (0, t * self._n_roots_pad))
                 B = ent.shape[0]
                 entry_base = entry_base + jnp.zeros(
                     (B, self.graph.n_chan),
-                    jnp.float32).at[:, self._roots_j].set(corr)
+                    jnp.float32).at[:, self._roots_j].set(
+                        corr[:, : self._n_roots])
             else:
                 ct = ct0
             entry_c = jnp.where(ie, entry_base, prop)
@@ -1190,11 +1202,11 @@ class NgramSearch:
             a.reshape(S, C)[None], (B, S, C))
         if self._tree:
             a0, h0, _, _ = self._init_hmmc_tree(Tp)
-            R = self._n_roots if self.use_bgla else 1
+            Rp = self._n_roots_pad if self.use_bgla else 1
             hmmc = (jnp.broadcast_to(a0, (B, S, C)),
                     jnp.broadcast_to(h0, (B, S, C)),
                     jnp.full((B, Tp * E, 2), -1, jnp.int32),
-                    jnp.zeros((B, Tp, R), jnp.float32))
+                    jnp.zeros((B, Tp * Rp), jnp.float32))
         else:
             a0, h0 = self._init_hmmc_static()
             hmmc = (rep(a0), rep(h0),
@@ -1724,8 +1736,7 @@ class NgramSearch:
                     ht = jnp.concatenate(
                         [ht, jnp.full((grow, 2), -1, jnp.int32)])
                     ct = jnp.concatenate(
-                        [ct, jnp.zeros((state["max_frames"] * self.nlextree,
-                                        ct.shape[1]), jnp.float32)])
+                        [ct, jnp.zeros((ct.shape[0],), jnp.float32)])
                     hmmc = (a, h, ht, ct)
                 else:
                     ht = hmmc[-1]

@@ -145,6 +145,26 @@ def gmm_logliks(feats, means, prec, lnw):
     return comp, total
 
 
+def state_logliks(feats, state_sen, means, prec, lnw):
+    """Per-STATE mixture log densities for one sentence HMM: params are
+    gathered per state, so cost and memory scale with the sentence length
+    (Smax), not the model size (n_sen) — the production-scale form.
+
+    feats [T, D]; state_sen [S] senone per state ->
+    comp [T, S, K] (incl. log mixture weights), ll [T, S] (logsumexp_K).
+    """
+    m = means[state_sen]                                     # [S, K, D]
+    p = prec[state_sen]
+    w = lnw[state_sen]
+    lrd = -0.5 * jnp.log(2.0 * jnp.pi / (2.0 * p)).sum(-1)   # [S, K]
+    const = lrd - (p * m * m).sum(-1) + w
+    hp = jax.lax.Precision.HIGHEST
+    comp = (const[None]
+            + jnp.einsum("td,skd->tsk", feats, 2.0 * p * m, precision=hp)
+            - jnp.einsum("td,skd->tsk", feats * feats, p, precision=hp))
+    return comp, jax.nn.logsumexp(comp, axis=-1)
+
+
 def _dense_trans(batch_row, log_tp, Smax):
     """Edge list -> dense [Smax, Smax] log transition matrix (one utt)."""
     esrc, edst, etm, eti, etj, emask = batch_row
@@ -197,8 +217,14 @@ def forward_backward(batch: UttBatch, means, prec, lnw, log_tp,
 
     def one_utt(feats, T, state_sen, smask, entry_lp, erow, frow,
                 state_phone, phseg_row):
-        comp, total = gmm_logliks(feats, means, prec, lnw)  # [T,n_sen,K]
-        ll = total[:, state_sen]                             # [T, S]
+        # ACTIVE-STATE densities: evaluate only the sentence HMM's Smax
+        # states (params gathered per state) instead of all n_sen senones
+        # — the reference's pattern (bw computes densities per active
+        # state with per-(codebook, frame) caching, forward.c:383-405).
+        # At production model sizes (5k senones x 32 Gaussians) the
+        # all-senone [T, n_sen, K] tensor would be ~GBs per utterance;
+        # the per-state [T, Smax, K] form is O(sentence length).
+        comp_s, ll = state_logliks(feats, state_sen, means, prec, lnw)
         ll = jnp.where(smask[None], ll, NEG)
         allowed = ((phseg_row[:, None] < 0)
                    | (state_phone[None, :] == phseg_row[:, None]))
@@ -241,21 +267,19 @@ def forward_backward(batch: UttBatch, means, prec, lnw, log_tp,
         g = jnp.exp(jnp.minimum(gamma, 0.0))                  # [T, S]
 
         # Component posteriors -> senone-indexed accumulation.
-        compn = comp - total[..., None]                       # [T,n_sen,K]
-        comp_s = compn[:, state_sen, :]                       # [T, S, K]
-        r = g[..., None] * jnp.exp(jnp.maximum(comp_s, -60.0))
-        # Scatter states -> senones.
+        compn = comp_s - ll[..., None]                        # [T, S, K]
+        r = g[..., None] * jnp.exp(jnp.maximum(compn, -60.0))
+        # Time-reduce with GEMMs (no [T, S, K, D] materialization: the
+        # weighted-observation sums are einsums riding the MXU), THEN
+        # scatter the small [S, K(, D)] per-state sums to senones.
+        hp = jax.lax.Precision.HIGHEST
+        rs = r.sum(0)                                         # [S, K]
+        ms = jnp.einsum("tsk,td->skd", r, feats, precision=hp)
+        vs = jnp.einsum("tsk,td->skd", r, feats * feats, precision=hp)
         seg = jnp.where(smask, state_sen, n_sen)              # pad -> dump row
-        r_flat = r.reshape(Tmax * Smax, K)
-        seg_t = jnp.tile(seg, (Tmax,))
-        mixw_acc = jax.ops.segment_sum(r_flat, seg_t, num_segments=n_sen + 1)[:-1]
-        mean_acc = jax.ops.segment_sum(
-            (r[..., None] * feats[:, None, None, :]).reshape(Tmax * Smax, K, D),
-            seg_t, num_segments=n_sen + 1)[:-1]
-        var_acc = jax.ops.segment_sum(
-            (r[..., None] * (feats * feats)[:, None, None, :]
-             ).reshape(Tmax * Smax, K, D),
-            seg_t, num_segments=n_sen + 1)[:-1]
+        mixw_acc = jax.ops.segment_sum(rs, seg, num_segments=n_sen + 1)[:-1]
+        mean_acc = jax.ops.segment_sum(ms, seg, num_segments=n_sen + 1)[:-1]
+        var_acc = jax.ops.segment_sum(vs, seg, num_segments=n_sen + 1)[:-1]
 
         # Transition accumulation: xi over edges.
         esrc, edst, etm, eti, etj, emask = erow
@@ -305,8 +329,8 @@ def viterbi_align(batch: UttBatch, means, prec, lnw, log_tp):
     nst = log_tp.shape[1]
 
     def one_utt(feats, T, state_sen, smask, entry_lp, erow, frow):
-        comp, total = gmm_logliks(feats, means, prec, lnw)
-        ll = jnp.where(smask[None], total[:, state_sen], NEG)
+        _, ll = state_logliks(feats, state_sen, means, prec, lnw)
+        ll = jnp.where(smask[None], ll, NEG)
         M = _dense_trans(erow, log_tp, Smax)
         tmask = jnp.arange(Tmax) < T
         a0 = entry_lp + ll[0]
