@@ -705,11 +705,15 @@ class NgramSearch:
         lives in the side-table, read back for the E2-slot exit shortlist
         — two fewer full-C payload planes in the scan (the propagation
         gathers were the measured large-vocabulary scan cost, PERF.md §7).
-        Copy 0 holds the initial <s> entries, copies 1.. start empty;
-        bp = -1 denotes the (<s>, -1) initial history."""
+        Copy 0 holds the initial <s> entries, copies 1.. start empty.
+        With N == 1 the bp payload is an 8-bit entry AGE (255 = initial
+        sentinel; slot = (t - age)*E, see _make_core_tree); with N > 1 it
+        is the i32 tape slot, -1 denoting the (<s>, -1) initial history."""
         N = self.nlextree
         S, C = self.graph.n_emit_state, self.graph.n_chan
         a, h = self._init_hmmc_static()
+        if N == 1:
+            h = jnp.full((S * C,), 255, jnp.uint8)
 
         def exp(x, fill):
             rest = jnp.full((N - 1, S, C), fill, x.dtype)
@@ -760,6 +764,15 @@ class NgramSearch:
         psel_bonus = jnp.where(self._is_filler, self._fil_pen, log_wip)
         has_prev = jnp.asarray(g.prev_chan >= 0)
         xb = g.exit_base
+        # With a single tree copy the re-entry always takes tape slot 0
+        # of its frame (vals are sorted, ok is a prefix), so the bp slot
+        # payload is recoverable as (t - age)*E from an 8-BIT entry-age —
+        # and a u8 propagation gather is 2.3x cheaper than i32 (PERF.md
+        # §8).  Age 255 is the <s>-initial sentinel; ages saturate there,
+        # so a single word/filler instance older than 254 frames (2.54 s
+        # inside one word — beyond any real word duration) would alias to
+        # the initial history.
+        use_age = N == 1
 
         def core(hmmc, inputs):
             # N parallel tree copies ride the leading (sublane) axis
@@ -771,8 +784,13 @@ class NgramSearch:
             alpha0, hist0, ht0, ct0 = hmmc                   # [N, S, C]
             sen_t, la_t, t, valid = inputs
             sen = jnp.broadcast_to(sen_t.reshape(S, C)[None], (N, S, C))
+            if use_age:
+                # saturating age increment (255 = initial sentinel)
+                hist_in = jnp.minimum(hist0, jnp.uint8(254)) + jnp.uint8(1)
+            else:
+                hist_in = hist0
             alpha, (hist,), ex, (exh,) = hmm_step_bm(
-                alpha0, (hist0,), sen, self._tp_bands)
+                alpha0, (hist_in,), sen, self._tp_bands)
 
             if self.prune:
                 bestscr = jnp.max(alpha)
@@ -807,7 +825,11 @@ class NgramSearch:
             psel = wex + psel_bonus
             v2, wsel2 = topk2(psel, E2)                      # [E2]
             okp = (v2 > neg * 0.5) & valid
-            pe2 = wbp[wsel2]                                 # [E2] bp slots
+            if use_age:
+                age2 = wbp[wsel2].astype(jnp.int32)          # [E2] u8 ages
+                pe2 = jnp.where(age2 >= 255, -1, (t - age2) * E)
+            else:
+                pe2 = wbp[wsel2]                             # [E2] bp slots
             phist = ht0[jnp.maximum(pe2, 0)]                 # [E2, 2]
             ph2 = jnp.where(pe2 < 0, self.start_lmwid, phist[:, 0])
             ph1 = jnp.where(pe2 < 0, -1, phist[:, 1])
@@ -872,8 +894,8 @@ class NgramSearch:
             prop = jnp.where(has_prev[None],
                              ex[:, self._prev_chan_c] + log_pip
                              + self._la_delta_c[None], neg)
-            bsh = jnp.where(has_prev[None],
-                            exh[:, self._prev_chan_c], -1)
+            bsh = jnp.where(has_prev[None], exh[:, self._prev_chan_c],
+                            jnp.uint8(255) if use_age else -1)
             ie = self._is_entry[None]
             entry_base = ent[:, None] + self._la_entry_c[None]
             if self.use_bgla:
@@ -893,7 +915,11 @@ class NgramSearch:
             else:
                 ct = ct0
             entry_c = jnp.where(ie, entry_base, prop)
-            entry_b = jnp.where(ie, ent_bp[:, None], bsh)
+            if use_age:
+                # freshly entered tokens have age 0
+                entry_b = jnp.where(ie, jnp.uint8(0), bsh)
+            else:
+                entry_b = jnp.where(ie, ent_bp[:, None], bsh)
             alpha, (hist,) = hmm_enter_bm(
                 alpha, (hist,), entry_c, (entry_b,))
 
@@ -957,12 +983,16 @@ class NgramSearch:
         has_prev = jnp.asarray(g.prev_chan >= 0)
 
         def core(hmmc, inputs):
-            # Tokens carry only the bp slot; per-lane history side-table
-            # supplies (h2, h1) for the E2 shortlist (PERF.md §7).
+            # Tokens carry an 8-bit entry AGE (255 = initial sentinel;
+            # the batched re-entry always takes slot 0, so the tape slot
+            # is (t - age)*E) — a u8 propagation gather is 2.3x cheaper
+            # than the i32 bp plane (PERF.md §8); per-lane history
+            # side-table supplies (h2, h1) for the E2 shortlist.
             alpha0, hist0, ht0, ct0 = hmmc                 # [B,S,C]/[B,TE,2]
             sen_t, t, validb = inputs                      # [B,S,C], [], [B]
+            hist_in = jnp.minimum(hist0, jnp.uint8(254)) + jnp.uint8(1)
             alpha, (hist,), ex, (exh,) = hmm_step_bm(
-                alpha0, (hist0,), sen_t, self._tp_bands)
+                alpha0, (hist_in,), sen_t, self._tp_bands)
 
             if self.prune:
                 bestscr = jnp.max(alpha, axis=(1, 2))             # [B]
@@ -986,7 +1016,9 @@ class NgramSearch:
             psel = wex + psel_bonus[None, :]
             v2, wsel2 = topk2(psel, E2)                           # [B, E2]
             okp = (v2 > neg * 0.5) & validb[:, None]
-            pe2 = jnp.take_along_axis(wbp, wsel2, axis=1)         # [B, E2]
+            age2 = jnp.take_along_axis(wbp, wsel2,
+                                       axis=1).astype(jnp.int32)  # [B, E2]
+            pe2 = jnp.where(age2 >= 255, -1, (t - age2) * E)
             phist = jnp.take_along_axis(
                 ht0, jnp.maximum(pe2, 0)[..., None], axis=1)      # [B,E2,2]
             ph2 = jnp.where(pe2 < 0, self.start_lmwid, phist[..., 0])
@@ -1030,14 +1062,13 @@ class NgramSearch:
             # ---- single best re-entry per lane ----
             has_ent = ok[:, 0]
             ent = jnp.where(has_ent, vals[:, 0], neg)             # [B]
-            ent_bp = jnp.where(has_ent, t * E, -1)
 
             # ---- within-word propagation with telescoping smear ----
             prop = jnp.where(has_prev[None, :],
                              ex[:, self._prev_chan_c] + log_pip
                              + self._la_delta_c[None, :], neg)
             bsh = jnp.where(has_prev[None, :],
-                            exh[:, self._prev_chan_c], -1)
+                            exh[:, self._prev_chan_c], jnp.uint8(255))
             ie = self._is_entry[None, :]
             entry_base = ent[:, None] + self._la_entry_c[None, :]
             if self.use_bgla:
@@ -1054,7 +1085,7 @@ class NgramSearch:
             else:
                 ct = ct0
             entry_c = jnp.where(ie, entry_base, prop)
-            entry_b = jnp.where(ie, ent_bp[:, None], bsh)
+            entry_b = jnp.where(ie, jnp.uint8(0), bsh)  # fresh entry: age 0
             alpha, (hist,) = hmm_enter_bm(
                 alpha, (hist,), entry_c, (entry_b,))
 
