@@ -389,14 +389,14 @@ def sec_wsj60k(out):
     out.append("- No OOM at either layout (tree tables ~47 MB HBM, flat "
                "~100 MB; scan carry 18/40 MB).")
     out.append("- The tree (prefix-shared channels, delayed exact-trigram "
-               "at exit, unigram-lookahead smear) is the faster layout; "
-               "flat keeps per-word LM discrimination at ENTRY.  The "
-               "tree's Viterbi-pass loss concentrates in short function "
-               "words carrying only the unigram smear until exit — the "
-               "lattice bestpath pass (the reference's own two-pass "
-               "remedy) recovers most of it for ~2.5 s of host wall on "
-               "the batch.  Both layouts decode 123k words above real "
-               "time on one chip vs the reference's 0.33x RT at 60k.")
+               "at exit) is the faster layout; since r5 its channels "
+               "carry a per-re-entry-history BIGRAM lookahead smear on "
+               "top of the static unigram smear (cancelled exactly at "
+               "the exit readout — ngram_search.py _setup_tree_bgla, "
+               "PERF.md §8), which closed the r4 delayed-LM accuracy gap "
+               "(tree 9.09% -> 2.27% at 123k).  Both layouts decode 123k "
+               "words well above real time on one chip vs the "
+               "reference's 0.33x RT at 60k.")
     out.append("- `big` = the tri LM inflated to 2M bigrams + 3.2M "
                "trigrams with ballast entries at -25 nats (the sphinx4 "
                "LargeTrigramModel-class regime): scores and hypotheses "
