@@ -162,6 +162,34 @@ def main(argv=None) -> int:
         fsg = FsgModel.read(kv["i"])
         write_fsg_fst(fsg, kv["o"], symfile=kv.get("syms"))
         print(f"{kv['i']} -> {kv['o']} (ATT FSM)")
+    elif cmd == "compile_gra":
+        # logios MakeGra capability: Phoenix .gra task grammar ->
+        # sampled corpus / n-gram LM / FSG (the MakeGra -> MakeLM
+        # language-compilation pipeline; compile_gra.pl + cfg2ngram):
+        #   compile_gra -gra F [-forms F] [-corpus out.txt -n 200]
+        #               [-lm out.arpa] [-fsg out.fsg]
+        from ..models.cfg import cfg_to_ngram, sample_sentences
+        from ..models.phoenix import PhoenixGrammar, read_forms
+        g = PhoenixGrammar.parse_file(kv["gra"])
+        forms = read_forms(kv["forms"]) if kv.get("forms") else None
+        cfg_g = g.to_cfg(forms)
+        print(f"{kv['gra']}: {len(g.nets)} nets, {len(g.macros)} macros, "
+              f"{len(cfg_g.rules)} CFG rules")
+        if kv.get("corpus"):
+            sents = sample_sentences(cfg_g, int(kv.get("n", 200)))
+            with open(kv["corpus"], "w") as fh:
+                for s in sents:
+                    fh.write(" ".join(s) + "\n")
+            print(f"sampled {len(sents)} sentences -> {kv['corpus']}")
+        if kv.get("lm"):
+            m = cfg_to_ngram(cfg_g, samples=int(kv.get("samples", 5000)))
+            m.write_arpa(kv["lm"])
+            print(f"estimated LM -> {kv['lm']} (counts {m.counts()})")
+        if kv.get("fsg"):
+            fsg = cfg_g.to_fsg(max_expansion=int(kv.get("maxexp", 2)))
+            with open(kv["fsg"], "w") as fh:
+                fsg.write(fh)
+            print(f"FSG -> {kv['fsg']} ({fsg.n_state} states)")
     elif cmd in ("dag", "astar", "conf"):
         # Offline lattice rescoring tools (sphinx3_dag / sphinx3_astar /
         # sphinx3_conf capability; sphinx3 dag.c:1466, astar.c, conf):
