@@ -269,6 +269,9 @@ class NgramSearch:
         self._sing_valid = jnp.asarray(g.sing_valid)
         self._comp_mem = jnp.asarray(g.comp_mem)
         self._comp_valid = jnp.asarray(g.comp_valid)
+        # width-bucketed composite member tables (lexgraph comp_groups)
+        self._comp_groups = tuple(
+            jnp.asarray(a) for a in (g.comp_groups or [g.comp_mem]))
         self._static_xs = jnp.asarray(g.static_xs)
         self._word_of = jnp.asarray(g.word_of)
         self._is_entry = jnp.asarray(g.is_entry)
@@ -363,8 +366,10 @@ class NgramSearch:
         g = self.graph
         base = jnp.where(self._sing_valid[None],
                          scores[:, self._sing_sen], neg)
-        comp = jnp.where(self._comp_valid[None],
-                         jnp.max(scores[:, self._comp_mem], axis=-1), neg)
+        comp = jnp.concatenate(
+            [jnp.max(scores[:, cg], axis=-1) for cg in self._comp_groups],
+            axis=1)
+        comp = jnp.where(self._comp_valid[None], comp, neg)
         return jnp.concatenate(
             [base[:, : g.n_sing], comp[:, : g.n_xs - g.n_sing]], axis=1)
 
@@ -400,8 +405,9 @@ class NgramSearch:
         st = scores_blk.T                                     # [n_sen, K]
         base = jnp.where(self._sing_valid[..., None],
                          st[self._sing_sen], neg)             # [n_sing, S, K]
-        comp = jnp.where(self._comp_valid[..., None],
-                         jnp.max(st[self._comp_mem], axis=2), neg)
+        comp = jnp.concatenate(
+            [jnp.max(st[cg], axis=2) for cg in self._comp_groups], axis=0)
+        comp = jnp.where(self._comp_valid[..., None], comp, neg)
         xsT = jnp.concatenate(
             [base[: g.n_sing], comp[: g.n_xs - g.n_sing]], axis=0)
         senT = xsT[self._static_xs]                           # [C, S, K]
@@ -947,8 +953,9 @@ class NgramSearch:
         st = scores_blk.transpose(2, 1, 0).reshape(-1, K * B)  # [n_sen, K*B]
         base = jnp.where(self._sing_valid[..., None],
                          st[self._sing_sen], neg)          # [n_sing, S, K*B]
-        comp = jnp.where(self._comp_valid[..., None],
-                         jnp.max(st[self._comp_mem], axis=2), neg)
+        comp = jnp.concatenate(
+            [jnp.max(st[cg], axis=2) for cg in self._comp_groups], axis=0)
+        comp = jnp.where(self._comp_valid[..., None], comp, neg)
         xsT = jnp.concatenate(
             [base[: g.n_sing], comp[: g.n_xs - g.n_sing]], axis=0)
         senT = xsT[self._static_xs]                        # [C, S, K*B]
