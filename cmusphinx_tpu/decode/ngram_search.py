@@ -102,6 +102,11 @@ NGRAM_ARGS = [
         "(sphinx3 -Nlextree): copy n holds the n-th best history-"
         "distinct cross-word entry per frame, recovering accuracy the "
         "single-best-entry approximation loses"),
+    Arg("maxbatch", int, 16,
+        "Largest utterance batch handed to the device as ONE program; "
+        "bigger decode_batch calls are chunked (outsized batches were "
+        "measured to crash the XLA compiler / TPU runtime at large "
+        "vocabularies).  0 disables chunking"),
     Arg("bestpath", bool, False,
         "Run lattice trigram rescoring after Viterbi (ps -bestpath)"),
     Arg("bestpathlw", float, 9.5, "Language weight for bestpath rescoring"),
@@ -1920,9 +1925,42 @@ class NgramSearch:
         """Batched decode: all utterances padded to one bucket and run as a
         single vmapped device program — utterance-level data parallelism
         (SURVEY.md §2.10 P1), amortizing device latency and filling the
-        chip.  Returns one Hypothesis per utterance."""
+        chip.  Returns one Hypothesis per utterance.
+
+        Batches larger than -maxbatch are chunked into sequential device
+        programs (oversized single programs were measured to crash the
+        XLA compiler / device runtime at large vocabularies); the chunk
+        tapes are padded to a common length and re-joined so
+        select_utt/get_lattice/bestpath address the whole batch."""
         if not feats_list:
             return []
+        mb = int(self.config["maxbatch"])
+        if mb > 0 and len(feats_list) > mb:
+            out: List[Hypothesis] = []
+            tape_chunks, Ts_all = [], []
+            for lo in range(0, len(feats_list), mb):
+                out.extend(self.decode_batch(feats_list[lo : lo + mb],
+                                             bestpath))
+                tape_chunks.append(self._batch_host_tapes())
+                Ts_all.extend(self._last_batch[1])
+            SE = max(t[0].shape[1] for t in tape_chunks)
+            fills = (-1, NEG_INF, -1, -1, -1, NEG_INF)
+
+            def padcat(k):
+                parts = []
+                for t in tape_chunks:
+                    a = t[k]
+                    pad = SE - a.shape[1]
+                    if pad:
+                        shape = (a.shape[0], pad) + a.shape[2:]
+                        a = np.concatenate(
+                            [a, np.full(shape, fills[k], a.dtype)], axis=1)
+                    parts.append(a)
+                return np.concatenate(parts, axis=0)
+
+            self._last_batch = (tuple(padcat(k) for k in range(6)),
+                                Ts_all, len(Ts_all) - 1)
+            return out
         D = int(feats_list[0].shape[1])
         Ts = [int(f.shape[0]) for f in feats_list]
         if not hasattr(self, "_batch_fn"):

@@ -250,3 +250,42 @@ def test_fanout_size_gate(reference_root, monkeypatch):
     # composite mode is unaffected by the gate
     s = NgramSearch(lm, d, mdef, tmat, scorer, rcmode="composite")
     assert s.rc_mode == "composite"
+
+
+def test_decode_batch_chunking(reference_root):
+    """Batches above -maxbatch are chunked into sequential device
+    programs with identical hypotheses, and the re-joined tapes still
+    serve select_utt/get_lattice across the whole batch."""
+    R = reference_root / "pocketsphinx"
+    H = R / "model/hmm/en/tidigits"
+    mdef = Mdef.read(str(H / "mdef"))
+    g = read_gauden(str(H / "means"), str(H / "variances"))
+    w, meta = read_sendump(str(H / "sendump"), return_raw=True)
+    tmat = TransitionMatrices.read(str(H / "transition_matrices"))
+    d = Dictionary.read(str(R / "model/lm/en/tidigits.dic"), mdef)
+    lm = NgramModel.read(str(R / "model/lm/en/tidigits.DMP"))
+    cfg = Config(FE_ARGS, FEAT_ARGS)
+    cfg.update_from_file(str(H / "feat.params"))
+    fp = FeatPipeline(cfg)
+    scorer = PsParityScorer(g, w, fp.stream_slices(),
+                            wrap_uint8=meta["n_bits"] == 4)
+    ctl = [l.strip() for l in
+           open(R / "test/data/tidigits/tidigits.ctl") if l.strip()][:10]
+    feats = [np.asarray(fp.compute(read_mfc(
+        str(R / f"test/data/tidigits/{u}.mfc")))) for u in ctl]
+
+    s1 = NgramSearch(lm, d, mdef, tmat, scorer, rcmode="composite",
+                     maxbatch=0)
+    ref_hyps = [h.text for h in s1.decode_batch(feats)]
+    s1.select_utt(7)
+    ref_lat = s1.get_lattice()
+    ref_bp = ref_lat.bestpath(lw=9.5, start_lmwid=s1.start_lmwid).text
+
+    s2 = NgramSearch(lm, d, mdef, tmat, scorer, rcmode="composite",
+                     maxbatch=4)
+    got = [h.text for h in s2.decode_batch(feats)]
+    assert got == ref_hyps
+    # cross-chunk utterance addressing (utt 7 lives in chunk 2)
+    s2.select_utt(7)
+    lat = s2.get_lattice()
+    assert lat.bestpath(lw=9.5, start_lmwid=s2.start_lmwid).text == ref_bp
