@@ -238,3 +238,23 @@ def test_bigram_lookahead_batched_matches_single(tidigits_parts):
     s2 = _mk_search(p, **kw)
     batched = [h.text for h in s2.decode_batch(p["feats"][:6])]
     assert batched == singles
+
+
+def test_tree_streaming_tape_growth(tidigits_parts):
+    """Streaming past the initial tape size doubles the tape AND the
+    tree carry's side-tables (histories + bigram-corr rows); hypotheses
+    stay equal to batch across the growth boundary (acmod_set_grow
+    semantics)."""
+    p = tidigits_parts
+    s = _mk_search(p, rcmode="composite", lcmode="composite",
+                   lexmode="tree", treela="bg")
+    assert s.use_bgla
+    feats = p["feats"][0]
+    assert feats.shape[0] > 64
+    want = s.decode(feats).text
+    st = s.stream_start(max_frames=64)   # forces >= 1 doubling
+    for j in range(0, feats.shape[0], 29):
+        s.stream_push(st, feats[j : j + 29])
+    assert st["max_frames"] > 64
+    got = s.stream_end(st).text
+    assert got == want
