@@ -1935,7 +1935,13 @@ class NgramSearch:
         if not feats_list:
             return []
         mb = int(self.config["maxbatch"])
-        if mb > 0 and len(feats_list) > mb:
+        # Only large graphs crash on oversized single programs (measured
+        # at 123k words); small-graph batches (e.g. the 31-utterance
+        # tidigits corpus) stay one program — chunking them would just
+        # serialize the scan.  (_chunk_min_chan is overridable in tests.)
+        if (mb > 0 and len(feats_list) > mb
+                and self.graph.n_chan > getattr(self, "_chunk_min_chan",
+                                                50_000)):
             out: List[Hypothesis] = []
             tape_chunks, Ts_all = [], []
             for lo in range(0, len(feats_list), mb):

@@ -283,6 +283,7 @@ def test_decode_batch_chunking(reference_root):
 
     s2 = NgramSearch(lm, d, mdef, tmat, scorer, rcmode="composite",
                      maxbatch=4)
+    s2._chunk_min_chan = 0   # the crash gate targets large graphs only
     got = [h.text for h in s2.decode_batch(feats)]
     assert got == ref_hyps
     # cross-chunk utterance addressing (utt 7 lives in chunk 2)
