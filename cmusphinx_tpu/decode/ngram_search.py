@@ -1976,13 +1976,16 @@ class NgramSearch:
                 # insert per-frame layout transposes (see the packing note
                 # at device_decode_batched); only the cheap backtrace is
                 # vmapped.
-                def _full_b(f, v, T):
+                def _full_b(f, T):
+                    # valid derives from T on device (one fewer upload)
+                    v = jnp.arange(f.shape[1])[None, :] < T[:, None]
                     tapes = self.device_decode_batched(f, v)
                     chase = jax.vmap(self.device_backtrace)(tapes, T)
                     return tapes, chase
                 self._batch_fn = jax.jit(_full_b)
             else:
-                def _full(f, v, T):
+                def _full(f, T):
+                    v = jnp.arange(f.shape[0]) < T
                     tape = self.device_decode(f, v)
                     return tape, self.device_backtrace(tape, T)
                 self._batch_fn = jax.jit(jax.vmap(_full))
@@ -1997,10 +2000,8 @@ class NgramSearch:
         fpad = np.zeros((B, Tpad, D), np.float32)
         for i, f in enumerate(feats_list):
             fpad[i, : Ts[i]] = f
-        valid = np.arange(Tpad)[None, :] < np.asarray(Ts)[:, None]
         tapes, chase = self._batch_fn(
-            jnp.asarray(fpad), jnp.asarray(valid),
-            jnp.asarray(Ts, dtype=jnp.int32))
+            jnp.asarray(fpad), jnp.asarray(Ts, dtype=jnp.int32))
         # Only the small packed chase array crosses the tunnel; the tape
         # stays on device unless bestpath/get_lattice needs it (then it is
         # pulled in ONE bulk transfer per array and sliced on host).
@@ -2033,7 +2034,10 @@ class NgramSearch:
         if not hasattr(self, "_batch_cep_fn"):
             if (self._fast and not self.pl_window
                     and self.graph.n_rcvar == 1 and self.nlextree == 1):
-                def _full_b(c, v, T):
+                def _full_b(c, T):
+                    # valid derives from T on device: one fewer upload
+                    # (each host->device transfer is a full tunnel RTT)
+                    v = jnp.arange(c.shape[1])[None, :] < T[:, None]
                     f = jax.vmap(
                         lambda ci, Ti: fp._padded_kernel(ci, Ti, True))(c, T)
                     tapes = self.device_decode_batched(f, v)
@@ -2041,7 +2045,8 @@ class NgramSearch:
                     return tapes, chase
                 self._batch_cep_fn = jax.jit(_full_b)
             else:
-                def _full(c, v, T):
+                def _full(c, T):
+                    v = jnp.arange(c.shape[0]) < T
                     f = fp._padded_kernel(c, T, True)
                     tape = self.device_decode(f, v)
                     return tape, self.device_backtrace(tape, T)
@@ -2051,10 +2056,8 @@ class NgramSearch:
         cpad = np.zeros((B, Tpad, n), np.float32)
         for i, c in enumerate(cep_list):
             cpad[i, : Ts[i]] = c
-        valid = np.arange(Tpad)[None, :] < np.asarray(Ts)[:, None]
         tapes, chase = self._batch_cep_fn(
-            jnp.asarray(cpad), jnp.asarray(valid),
-            jnp.asarray(Ts, dtype=jnp.int32))
+            jnp.asarray(cpad), jnp.asarray(Ts, dtype=jnp.int32))
         chase = np.asarray(chase)
         bp = bool(self.config["bestpath"]) if bestpath is None else bestpath
         self._last = None
