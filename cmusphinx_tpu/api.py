@@ -79,6 +79,12 @@ DECODER_ARGS = [
     Arg("parity", bool, True,
         "Use the bit-faithful reference senone scorer for sendump models"),
     Arg("topn", int, 4, "Number of top Gaussians to use in scoring"),
+    Arg("gmmprec", str, "highest",
+        "Continuous-GMM GEMM precision: highest (6-pass f32), high "
+        "(3-pass bf16x3, the recommended serving mode - hypothesis-"
+        "identical on the eval models), or bf16 (one MXU pass; UNSAFE "
+        "for floored-variance models - verify WER per model, see "
+        "ops/gmm.py GEMM_PRECISIONS and evals/run_pallas_e2e.py)"),
     Arg("samprate", float, 16000.0, "Sampling rate"),
 ]
 
@@ -209,7 +215,8 @@ class Decoder:
                                         topn=int(cfg["topn"]))
         if gauden.n_feat == 1 and gauden.n_mgau == lnw.shape[-1]:
             # One codebook per senone: continuous.
-            return ContinuousScorer(gauden, lnw[0].T)
+            return ContinuousScorer(gauden, lnw[0].T,
+                                    precision=str(cfg["gmmprec"]))
         if gauden.n_mgau == self.mdef.n_ciphone:
             sen2cb = np.asarray(self.mdef.sen2cimap, np.int32)
             return PTMScorer(gauden, lnw[0].T, sen2cb)

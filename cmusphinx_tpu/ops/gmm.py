@@ -46,6 +46,27 @@ import numpy as np
 # enough to flip near-tie Viterbi paths.  All scoring GEMMs request full f32.
 HIGHEST = jax.lax.Precision.HIGHEST
 
+# Serving-precision ladder for the continuous scorer (-gmmprec).  On TPU an
+# f32 matmul under HIGHEST runs as ~6 bf16 MXU passes; "high" splits each
+# operand into bf16 hi+lo (3 passes, ~2^-19 operand precision); "bf16"
+# stores parameters in bfloat16 and runs ONE pass with f32 accumulation.
+# Measured at hub4 scale (S=5150, K=32, Pallas kernel, evals/mfu_report.py):
+# highest 43 ms, high 34 ms, bf16 29 ms.  CAUTION on bf16: the expanded
+# quadratic form cancels prec*mean^2-magnitude terms, and real trained GMMs
+# have floored variances that push those terms to ~1e6 nats — single-pass
+# bf16's 2^-9 operand rounding then leaves THOUSANDS of nats of density
+# error (measured: 16205 nats max, WER 0% -> 19.6% on the tidigits CD
+# model), while "high" stays hypothesis-identical (evals/run_pallas_e2e.py).
+# "high" is the recommended serving mode; "bf16" only for models whose
+# prec/mean magnitudes are verified benign.  "highest" stays the default —
+# precision is opt-in serving configuration, like the reference's own
+# quantized scoring modes (sendump 8/4-bit, s2_semi_mgau.c:889).
+GEMM_PRECISIONS = {
+    "highest": HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "bf16": None,  # bf16 parameter storage + single MXU pass, f32 accum
+}
+
 from ..models.gauden import GaussianParams
 
 
@@ -132,9 +153,13 @@ class ContinuousScorer:
     """
 
     def __init__(self, gauden: GaussianParams, ln_mixw: np.ndarray,
-                 topn: int = 0, use_pallas: Optional[bool] = None):
+                 topn: int = 0, use_pallas: Optional[bool] = None,
+                 precision: str = "highest"):
         if gauden.n_feat != 1:
             raise ValueError("continuous scorer expects a single feature stream")
+        if precision not in GEMM_PRECISIONS:
+            raise ValueError(f"precision must be one of "
+                             f"{sorted(GEMM_PRECISIONS)}, got {precision!r}")
         S, K, D = gauden.n_mgau, gauden.n_density, gauden.maxlen
         means = gauden.means[:, 0]       # [S, K, D]
         prec = gauden.prec[:, 0]
@@ -142,9 +167,12 @@ class ContinuousScorer:
         lnw = ln_mixw.reshape(S, K) if ln_mixw.ndim != 2 else ln_mixw
         # Fold mixture weights into the density constant term.
         const = (lrd + lnw - (prec * means * means).sum(-1))  # [S, K]
-        self.lin = jnp.asarray((2.0 * prec * means).reshape(S * K, D).T)   # [D, S*K]
-        self.quad = jnp.asarray(prec.reshape(S * K, D).T)                  # [D, S*K]
-        self.const = jnp.asarray(const.reshape(S * K))
+        self.precision = precision
+        ptype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        self.lin = jnp.asarray(
+            (2.0 * prec * means).reshape(S * K, D).T, ptype)   # [D, S*K]
+        self.quad = jnp.asarray(prec.reshape(S * K, D).T, ptype)
+        self.const = jnp.asarray(const.reshape(S * K))         # f32 always
         self.n_sen, self.n_density = S, K
         self.topn = topn
         if use_pallas is None:
@@ -156,8 +184,10 @@ class ContinuousScorer:
         if self.use_pallas:
             from .pallas_gmm import pack_params
             lin_p, quad_p, const_p, bs = pack_params(
-                np.asarray(self.lin), np.asarray(self.quad),
-                np.asarray(self.const), S, K)
+                np.asarray(self.lin, np.float32),
+                np.asarray(self.quad, np.float32),
+                np.asarray(self.const), S, K,
+                dtype=jnp.bfloat16 if precision == "bf16" else None)
             self._packed = (jnp.asarray(lin_p), jnp.asarray(quad_p),
                             jnp.asarray(const_p), bs)
 
@@ -168,10 +198,21 @@ class ContinuousScorer:
             lin_p, quad_p, const_p, bs = self._packed
             return fused_mixture_scores_packed(
                 feats, lin_p, quad_p, const_p,
-                n_sen=self.n_sen, n_density=self.n_density, block_s=bs)
-        ll = (self.const[None, :]
-              + jnp.dot(feats, self.lin, precision=HIGHEST)
-              - jnp.dot(feats * feats, self.quad, precision=HIGHEST))  # [T, S*K]
+                n_sen=self.n_sen, n_density=self.n_density, block_s=bs,
+                precision=self.precision)
+        if self.precision == "bf16":
+            # Square in f32 first (x*x then round beats bf16(x)^2), one bf16
+            # MXU pass per GEMM, f32 accumulation.
+            ll = (self.const[None, :]
+                  + jnp.dot(feats.astype(jnp.bfloat16), self.lin,
+                            preferred_element_type=jnp.float32)
+                  - jnp.dot((feats * feats).astype(jnp.bfloat16), self.quad,
+                            preferred_element_type=jnp.float32))
+        else:
+            prec = GEMM_PRECISIONS[self.precision]
+            ll = (self.const[None, :]
+                  + jnp.dot(feats, self.lin, precision=prec)
+                  - jnp.dot(feats * feats, self.quad, precision=prec))
         ll = ll.reshape(feats.shape[0], self.n_sen, self.n_density)
         if self.topn:
             ll = _mask_topn(ll, self.topn)

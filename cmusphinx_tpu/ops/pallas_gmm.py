@@ -47,36 +47,68 @@ def _round_up(x: int, m: int) -> int:
 
 
 def pack_params(lin: np.ndarray, quad: np.ndarray, const: np.ndarray,
-                n_sen: int, n_density: int, block_s: int = BLOCK_S):
+                n_sen: int, n_density: int, block_s: int = BLOCK_S,
+                dtype=None):
     """Host-side packing: [D, S*K] senone-major -> [D, Sp*K] mixture-major
     block layout (column j*BS*K + k*BS + s for senone j*BS+s, mixture k),
-    with S padded to a block multiple (padded const = large negative)."""
+    with S padded to a block multiple (padded const = large negative).
+    `dtype=bfloat16` stores lin/quad in bf16 for the single-pass serving
+    mode (const stays f32 — it carries the log normalizer's full range)."""
     S, K = n_sen, n_density
     D = lin.shape[0]
+    pt = np.float32 if dtype is None else np.dtype(dtype)
     bs = min(block_s, _round_up(S, 8))
     Sp = _round_up(S, bs)
-    lin_p = np.zeros((D, Sp * K), np.float32)
-    quad_p = np.zeros((D, Sp * K), np.float32)
+    lin_p = np.zeros((D, Sp * K), pt)
+    quad_p = np.zeros((D, Sp * K), pt)
     const_p = np.full((Sp * K,), _PAD_CONST, np.float32)
     src = np.arange(S * K)
     s, k = src // K, src % K
     dst = (s // bs) * bs * K + k * bs + (s % bs)
-    lin_p[:, dst] = np.asarray(lin, np.float32)
-    quad_p[:, dst] = np.asarray(quad, np.float32)
+    lin_p[:, dst] = np.asarray(lin, np.float32).astype(pt)
+    quad_p[:, dst] = np.asarray(quad, np.float32).astype(pt)
     const_p[dst] = np.asarray(const, np.float32)
     return lin_p, quad_p, const_p.reshape(1, Sp * K), bs
 
 
-def _kernel(x_ref, lin_ref, quad_ref, const_ref, out_ref, *, bs: int, k: int):
+def _kernel(x_ref, lin_ref, quad_ref, const_ref, out_ref, *, bs: int, k: int,
+            precision: str = "highest"):
     x = x_ref[:]                                           # [BT, D]
-    # Full f32 GEMMs: log densities are numerically sensitive (see ops/gmm.py
-    # HIGHEST rationale) — default MXU bf16 passes cost ~0.1-0.3 nats.
-    hi = jax.lax.Precision.HIGHEST
-    ll = (const_ref[:]                                     # [1, BS*K]
-          + jnp.dot(x, lin_ref[:], preferred_element_type=jnp.float32,
-                    precision=hi)
-          - jnp.dot(x * x, quad_ref[:], preferred_element_type=jnp.float32,
-                    precision=hi))
+    if precision == "bf16":
+        # Serving mode: bf16 params (halved VMEM/HBM) + ONE MXU pass per
+        # GEMM with f32 accumulation; x squared in f32, then rounded.
+        ll = (const_ref[:]
+              + jnp.dot(x.astype(jnp.bfloat16), lin_ref[:],
+                        preferred_element_type=jnp.float32)
+              - jnp.dot((x * x).astype(jnp.bfloat16), quad_ref[:],
+                        preferred_element_type=jnp.float32))
+    elif precision == "high":
+        # bf16x3 middle ground (~2^-19 operand precision at half HIGHEST's
+        # MXU passes).  Mosaic rejects Precision.HIGH, so split operands
+        # into bf16 hi+lo by hand: a.b ~= ah.bh + ah.bl + al.bh.
+        def split(a):
+            hi = a.astype(jnp.bfloat16)
+            return hi, (a - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+        def dot3(a, b):
+            ah, al = split(a)
+            bh, bl = split(b)
+            f32 = jnp.float32
+            return (jnp.dot(ah, bh, preferred_element_type=f32)
+                    + jnp.dot(ah, bl, preferred_element_type=f32)
+                    + jnp.dot(al, bh, preferred_element_type=f32))
+
+        ll = const_ref[:] + dot3(x, lin_ref[:]) - dot3(x * x, quad_ref[:])
+    else:
+        # Full f32 GEMMs: log densities are numerically sensitive (see
+        # ops/gmm.py HIGHEST rationale) — default MXU bf16 passes cost
+        # ~0.1-0.3 nats.
+        hi = jax.lax.Precision.HIGHEST
+        ll = (const_ref[:]                                 # [1, BS*K]
+              + jnp.dot(x, lin_ref[:], preferred_element_type=jnp.float32,
+                        precision=hi)
+              - jnp.dot(x * x, quad_ref[:],
+                        preferred_element_type=jnp.float32, precision=hi))
     # Mixture log-sum-exp over K lane-aligned [BT, BS] column groups.
     m = ll[:, 0:bs]
     for j in range(1, k):
@@ -88,11 +120,12 @@ def _kernel(x_ref, lin_ref, quad_ref, const_ref, out_ref, *, bs: int, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "n_sen", "n_density", "block_s", "block_t", "interpret"))
+    "n_sen", "n_density", "block_s", "block_t", "interpret", "precision"))
 def fused_mixture_scores_packed(x, lin_p, quad_p, const_p, *, n_sen: int,
                                 n_density: int, block_s: int,
                                 block_t: int = BLOCK_T,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                precision: str = "highest"):
     """x [T, D] + pack_params outputs -> [T, n_sen] log mixture scores."""
     T, D = x.shape
     K, bs = n_density, block_s
@@ -106,7 +139,7 @@ def fused_mixture_scores_packed(x, lin_p, quad_p, const_p, *, n_sen: int,
         x = jnp.pad(x, ((0, Tp - T), (0, 0)))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, bs=bs, k=K),
+        functools.partial(_kernel, bs=bs, k=K, precision=precision),
         grid=(Tp // bt, Sp // bs),
         in_specs=[
             pl.BlockSpec((bt, D), lambda i, j: (i, 0),
@@ -123,7 +156,8 @@ def fused_mixture_scores_packed(x, lin_p, quad_p, const_p, *, n_sen: int,
         out_shape=jax.ShapeDtypeStruct((Tp, Sp), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=4 * Tp * D * Sp * K,
-            bytes_accessed=(Tp * D + 2 * D * Sp * K + Tp * Sp) * 4,
+            bytes_accessed=(Tp * D + Tp * Sp) * 4
+            + 2 * D * Sp * K * lin_p.dtype.itemsize,
             transcendentals=Tp * Sp * (K + 1),
         ),
         interpret=interpret,
@@ -133,16 +167,17 @@ def fused_mixture_scores_packed(x, lin_p, quad_p, const_p, *, n_sen: int,
 
 def fused_mixture_scores(x, lin, quad, const, *, n_sen: int, n_density: int,
                          block_t: int = BLOCK_T, block_s: int = BLOCK_S,
-                         interpret: bool = False):
+                         interpret: bool = False, precision: str = "highest"):
     """Convenience wrapper taking senone-major [D, S*K] params (packs on
     host — prefer pack_params once + fused_mixture_scores_packed in loops)."""
     lin_p, quad_p, const_p, bs = pack_params(
         np.asarray(lin), np.asarray(quad), np.asarray(const),
-        n_sen, n_density, block_s)
+        n_sen, n_density, block_s,
+        dtype=jnp.bfloat16 if precision == "bf16" else None)
     return fused_mixture_scores_packed(
         x, jnp.asarray(lin_p), jnp.asarray(quad_p), jnp.asarray(const_p),
         n_sen=n_sen, n_density=n_density, block_s=bs, block_t=block_t,
-        interpret=interpret)
+        interpret=interpret, precision=precision)
 
 
 def pallas_available() -> bool:

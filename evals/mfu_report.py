@@ -99,17 +99,21 @@ def main():
     Tc = int(Xc.shape[0])
     fl = mfu.continuous_gmm_flops(Tc, S_, K_, D_)
     for fused in (False, True):
-        try:
-            cs = ContinuousScorer(gp, lnw, use_pallas=fused)
-            f = jax.jit(cs.score)
-            dt = timeit(lambda: f(Xc))
-            by = mfu.continuous_gmm_bytes(Tc, S_, K_, D_, fused)
-            stages.append(mfu.Stage(
-                "cont GMM %s (S=5150 K=32)" % ("pallas" if fused
-                                               else "dense"),
-                dt, fl, by))
-        except Exception as e:
-            print(f"(continuous {fused=} skipped: {e})")
+        for precision in ("highest", "high", "bf16"):
+            try:
+                cs = ContinuousScorer(gp, lnw, use_pallas=fused,
+                                      precision=precision)
+                f = jax.jit(cs.score)
+                dt = timeit(lambda: f(Xc))
+                by = mfu.continuous_gmm_bytes(Tc, S_, K_, D_, fused)
+                if precision == "bf16":  # params are half-width
+                    by -= 2.0 * D_ * S_ * K_ * 2
+                stages.append(mfu.Stage(
+                    "cont GMM %s %s (S=5150 K=32)"
+                    % ("pallas" if fused else "dense", precision),
+                    dt, fl, by))
+            except Exception as e:
+                print(f"(continuous {fused=} {precision=} skipped: {e})")
 
     # --- 3. tidigits headline decode (fused cep->decode) ---
     search = NgramSearch(lm, d, mdef, tmat, scorer)

@@ -130,6 +130,32 @@ def main():
           f"({'pallas wins' if tf < td else 'dense wins'} at the scorer; "
           f"S*K={S*K}, T={X.shape[0]})")
 
+    # --- reduced-precision serving modes (-gmmprec high / bf16) ---
+    # Real trained GMMs have floored variances -> huge prec*mean^2 terms in
+    # the expanded-quadratic GEMM form; single-pass bf16 operand rounding
+    # (2^-9 relative) turns that cancellation into THOUSANDS of nats of
+    # density error, so bf16 must be validated per model, not assumed.
+    # Precision.HIGH (3-pass operand splitting, ~2^-19) is the safe fast
+    # mode.  This block prints the measured verdict for both.
+    for pname in ("high", "bf16"):
+        ps = ContinuousScorer(g, lnw2, use_pallas=fused.use_pallas,
+                              precision=pname)
+        sb = jax.block_until_ready(ps.score(X))
+        err_nats = float(jnp.max(jnp.abs(sf - sb)))
+        tb = bench(ps.score)
+        search = NgramSearch(lm, d, mdef, tmat, ps)
+        hyps = search.decode_batch(feats)
+        errs = tot = 0
+        for utt, h in zip(utts, hyps):
+            e, n = wer(" ".join(lsn[utt]).upper(), h.text.upper())
+            errs += e
+            tot += n
+        same_p = res["pallas"][0] == [h.text for h in hyps]
+        print(f"gmmprec={pname}: max score err {err_nats:.3f} nats, WER "
+              f"{100.0*errs/tot:.2f}% ({errs}/{tot}), scorer {tb:.2f} ms "
+              f"({tf/tb:.2f}x over f32 pallas), hypotheses identical to "
+              f"f32: {same_p}", flush=True)
+
     # --- production-scale scorer bench (synthetic params, hub4-class) ---
     from cmusphinx_tpu.models.gauden import GaussianParams
     rng = np.random.RandomState(0)
